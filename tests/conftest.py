@@ -1,0 +1,31 @@
+"""Test harness: force an 8-device virtual CPU platform.
+
+Multi-chip TPU hardware is not available in CI; all sharding/collective paths
+are validated on a virtual host-platform mesh, mirroring the multi-process
+test strategy recommended in SURVEY.md §4.
+
+Must run before jax initializes, hence the env mutation at import time.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at a TPU
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize registers the TPU backend and *programmatically*
+# sets jax_platforms (overriding the env var), so force CPU here too — backends
+# initialize lazily, so this takes effect as long as no array op ran yet.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,187 @@
+"""Typed configuration for the TPU-native SLAM framework.
+
+Replaces the reference's single env var + scattered hard-coded constants
+(reference: src/vslam.cpp:19,29-33,39,50,149; src/Frame.cpp:61,66,91) with one
+frozen, hashable dataclass tree that can be passed as a static argument to
+``jax.jit``.
+
+All capacities are static: TPU/XLA compiles one program per shape, so every
+variable-length quantity in the SLAM state (keypoints, matches, map points,
+observations) lives in a fixed-capacity padded array with a validity mask.
+Capacities default to multiples of 128 to align with MXU/VPU lanes.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics. Reference builds K = [f,0,W/2; 0,f,H/2; 0,0,1]
+    from env var ``F`` (src/vslam.cpp:29-33); here it is explicit config."""
+    width: int = 1248
+    height: int = 384
+    fx: float = 718.856   # KITTI 00 default; reference default was f=525
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+
+    def K(self):
+        import numpy as np
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Feature detection + description.
+
+    Mirrors the capability of the reference's two extraction strategies
+    (src/Frame.cpp:16-51 grid ORB; src/Frame.cpp:53-80 Shi-Tomasi+ORB) as
+    batched convolution / top-k kernels.
+    """
+    max_keypoints: int = 3072        # reference caps at 3000 (src/Frame.cpp:61)
+    nms_radius: int = 3              # reference min distance 3 px (src/Frame.cpp:61)
+    quality_level: float = 0.01      # relative response threshold (src/Frame.cpp:61)
+    score: str = "shi_tomasi"        # "shi_tomasi" | "harris"
+    harris_k: float = 0.04
+    # Grid-distributed detection (idiomatic form of the reference's 5x5 grid
+    # cap, src/Frame.cpp:19-23): top-k per tile. 0 disables tiling.
+    grid_rows: int = 8
+    grid_cols: int = 16
+    # BRIEF descriptor
+    patch_radius: int = 15           # ORB uses radius-15 intensity centroid
+    descriptor_bits: int = 256       # 256-bit binary descriptor = 8 x uint32
+    blur_sigma: float = 2.0          # pre-descriptor smoothing
+    border: int = 19                 # keypoints this close to border are culled
+
+
+@dataclass(frozen=True)
+class MatchingConfig:
+    max_matches: int = 3072
+    lowe_ratio: float = 0.7          # reference src/Frame.cpp:91
+    cross_check: bool = True         # reference TODO at src/Frame.cpp:103
+    hamming_max: int = 64            # association gate (src/vslam.cpp:39)
+    search_radius: float = 8.0       # projection search radius in px
+                                     # (reference uses 2 px, src/vslam.cpp:149;
+                                     # wider is more robust with correct poses)
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Massively parallel hypothesize-and-verify — the completed form of the
+    reference's CUDA sketch (src/ransac.cu:8-26) and its 100-iteration serial
+    loop (src/RansacFilter.cpp:49-66)."""
+    num_hypotheses: int = 2048       # batch dim; reference used 100 serial iters
+    sample_size: int = 8             # 8-point algorithm (src/RansacFilter.cpp)
+    inlier_threshold: float = 2.0    # Sampson error in px (reference: 10 on an
+                                     # unnormalized, buggy residual,
+                                     # src/RansacFilter.cpp:126)
+    min_inliers: int = 15
+
+
+@dataclass(frozen=True)
+class TriangulationConfig:
+    reproj_threshold_sq: float = 4.0  # reference src/vslam.cpp:50
+    min_parallax_deg: float = 0.5
+    min_depth: float = 0.1
+    max_depth: float = 500.0
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Fixed-capacity functional map (replaces the growable cv::Mat map,
+    reference src/PointMap.cpp:5-15)."""
+    capacity: int = 1 << 17          # 131072 map points
+    obs_per_point: int = 4           # descriptor archive slots per point
+                                     # (reference keeps every observation,
+                                     # src/PointMap.h:15-16; we keep a rolling K)
+    block_size: int = 4096           # shard/scan granularity for association
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Gauss-Newton / LM bundle adjustment with Schur complement — the
+    component the reference stubbed out (src/optimzer.cpp:1-9)."""
+    window: int = 20                 # sliding-window keyframes
+    max_points: int = 8192           # landmarks per BA problem
+    max_obs_per_point: int = 16      # point-major observation slots
+    iterations: int = 10
+    init_damping: float = 1e-3
+    damping_up: float = 4.0
+    damping_down: float = 0.5
+    huber_delta: float = 2.0         # robust loss on reprojection residual (px)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout for pjit/shard_map execution."""
+    axis_hyp: str = "hyp"            # RANSAC hypotheses axis
+    axis_map: str = "map"            # map-point / landmark blocks axis
+    # data-parallel axis name used when running multiple sequences
+    axis_data: str = "data"
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    keyframe_every: int = 5
+    keyframe_min_inlier_ratio: float = 0.35
+    max_keyframes: int = 512
+    local_ba_every: int = 5          # run window BA every N keyframes
+    image_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class VSLAMConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    triangulation: TriangulationConfig = field(default_factory=TriangulationConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+
+    # ---- (de)serialization ------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "VSLAMConfig":
+        raw = json.loads(text)
+        return VSLAMConfig(
+            camera=CameraConfig(**raw.get("camera", {})),
+            frontend=FrontendConfig(**raw.get("frontend", {})),
+            matching=MatchingConfig(**raw.get("matching", {})),
+            ransac=RansacConfig(**raw.get("ransac", {})),
+            triangulation=TriangulationConfig(**raw.get("triangulation", {})),
+            map=MapConfig(**raw.get("map", {})),
+            ba=BAConfig(**raw.get("ba", {})),
+            mesh=MeshConfig(**raw.get("mesh", {})),
+            pipeline=PipelineConfig(**raw.get("pipeline", {})),
+        )
+
+    def replace(self, **kw) -> "VSLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def small_config() -> VSLAMConfig:
+    """A tiny config for CPU tests and multi-chip dry runs."""
+    return VSLAMConfig(
+        camera=CameraConfig(width=256, height=192, fx=200.0, fy=200.0,
+                            cx=128.0, cy=96.0),
+        frontend=FrontendConfig(max_keypoints=256, grid_rows=4, grid_cols=4,
+                                border=17),
+        matching=MatchingConfig(max_matches=256),
+        ransac=RansacConfig(num_hypotheses=128),
+        map=MapConfig(capacity=4096, block_size=512),
+        ba=BAConfig(window=4, max_points=512, max_obs_per_point=8,
+                    iterations=3),
+        pipeline=PipelineConfig(keyframe_every=2, max_keyframes=32),
+    )

@@ -1,0 +1,168 @@
+"""Synthetic scene + sequence generator with exact ground truth.
+
+The reference ships no data (test_videos/ is gitignored, reference
+.gitignore:7) and relies on human inspection of a live viewer. The rebuild's
+test strategy (SURVEY.md §4) instead validates every stage against synthetic
+scenes with known geometry:
+
+  * ``make_scene``        — random textured 3D landmarks.
+  * ``make_trajectory``   — smooth camera path (T_wc per frame).
+  * ``correspondences``   — exact 2D-2D / 2D-3D ground truth for geometry tests.
+  * ``render_sequence``   — images where each landmark is drawn as a fixed
+    random patch, so corner detection *and* descriptor matching work on the
+    rendered frames end-to-end.
+
+All generation is host-side numpy (deterministic via seed); outputs feed the
+jitted TPU pipeline as device arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Scene:
+    xyz: np.ndarray        # (P, 3) world points
+    patches: np.ndarray    # (P, ps, ps) per-landmark texture in [0,1]
+    color: np.ndarray      # (P, 3) RGB in [0,1]
+
+
+def make_scene(
+    num_points: int = 4000,
+    seed: int = 0,
+    extent=(40.0, 12.0, 60.0),
+    z_min: float = 4.0,
+    patch_size: int = 9,
+) -> Scene:
+    rng = np.random.RandomState(seed)
+    xyz = np.stack(
+        [
+            rng.uniform(-extent[0], extent[0], num_points),
+            rng.uniform(-extent[1], extent[1], num_points),
+            rng.uniform(z_min, extent[2], num_points),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    # High-contrast random patches -> strong Shi-Tomasi response + distinctive
+    # BRIEF bits. Center brightened so the detector peaks at the true center.
+    patches = rng.uniform(0.0, 1.0, (num_points, patch_size, patch_size)).astype(np.float32)
+    c = patch_size // 2
+    patches[:, c, c] = 1.0
+    color = rng.uniform(0.2, 1.0, (num_points, 3)).astype(np.float32)
+    return Scene(xyz=xyz, patches=patches, color=color)
+
+
+def make_trajectory(
+    num_frames: int,
+    step: float = 0.4,
+    yaw_rate: float = 0.004,
+    sway: float = 0.05,
+    seed: int = 1,
+) -> np.ndarray:
+    """Forward-dominant smooth path. Returns (F, 4, 4) T_wc poses."""
+    rng = np.random.RandomState(seed)
+    poses = np.zeros((num_frames, 4, 4), np.float32)
+    T = np.eye(4, dtype=np.float32)
+    yaw = 0.0
+    for i in range(num_frames):
+        poses[i] = T
+        yaw += yaw_rate * (1.0 + 0.3 * rng.randn())
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+        d = np.array(
+            [sway * rng.randn(), 0.3 * sway * rng.randn(), step], np.float32
+        )
+        delta = np.eye(4, dtype=np.float32)
+        delta[:3, :3] = R @ np.linalg.inv(T[:3, :3] @ R) @ (T[:3, :3] @ R)
+        # local step: rotate then translate in the camera frame
+        delta[:3, :3] = _yaw_matrix(yaw_rate)
+        delta[:3, 3] = d
+        T = (T @ delta).astype(np.float32)
+    return poses
+
+
+def _yaw_matrix(a: float) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def project_w(K: np.ndarray, T_wc: np.ndarray, xyz: np.ndarray):
+    """Project world points into a camera. Returns uv (P,2), depth (P,)."""
+    T_cw = np.linalg.inv(T_wc)
+    Xc = xyz @ T_cw[:3, :3].T + T_cw[:3, 3]
+    z = Xc[:, 2]
+    safe = np.where(np.abs(z) < 1e-9, 1e-9, z)
+    uvw = Xc @ K.T
+    return uvw[:, :2] / safe[:, None], z
+
+
+def correspondences(
+    K: np.ndarray,
+    T_wc_1: np.ndarray,
+    T_wc_2: np.ndarray,
+    xyz: np.ndarray,
+    width: int,
+    height: int,
+    noise_px: float = 0.0,
+    seed: int = 0,
+):
+    """Exact two-view ground truth: returns uv1, uv2, visible mask, xyz."""
+    rng = np.random.RandomState(seed)
+    uv1, z1 = project_w(K, T_wc_1, xyz)
+    uv2, z2 = project_w(K, T_wc_2, xyz)
+    vis = (
+        (z1 > 0.1) & (z2 > 0.1)
+        & (uv1[:, 0] >= 0) & (uv1[:, 0] < width)
+        & (uv1[:, 1] >= 0) & (uv1[:, 1] < height)
+        & (uv2[:, 0] >= 0) & (uv2[:, 0] < width)
+        & (uv2[:, 1] >= 0) & (uv2[:, 1] < height)
+    )
+    if noise_px > 0:
+        uv1 = uv1 + rng.randn(*uv1.shape) * noise_px
+        uv2 = uv2 + rng.randn(*uv2.shape) * noise_px
+    return uv1.astype(np.float32), uv2.astype(np.float32), vis, xyz
+
+
+def render_frame(
+    K: np.ndarray,
+    T_wc: np.ndarray,
+    scene: Scene,
+    width: int,
+    height: int,
+    background: float = 0.35,
+) -> np.ndarray:
+    """Render one grayscale frame: splat each visible landmark's patch at its
+    projection (far-to-near painter's order). Returns (H, W) float32 in [0,1]."""
+    uv, z = project_w(K, T_wc, scene.xyz)
+    ps = scene.patches.shape[1]
+    r = ps // 2
+    img = np.full((height, width), background, np.float32)
+    vis = (
+        (z > 0.2)
+        & (uv[:, 0] >= r + 1) & (uv[:, 0] < width - r - 1)
+        & (uv[:, 1] >= r + 1) & (uv[:, 1] < height - r - 1)
+    )
+    order = np.argsort(-z)  # far first; near landmarks overwrite
+    for i in order:
+        if not vis[i]:
+            continue
+        x, y = uv[i]
+        xi, yi = int(round(x)), int(round(y))
+        img[yi - r : yi + r + 1, xi - r : xi + r + 1] = scene.patches[i]
+    return img
+
+
+def render_sequence(
+    K: np.ndarray,
+    poses: np.ndarray,
+    scene: Scene,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """(F, H, W) float32 grayscale sequence."""
+    return np.stack(
+        [render_frame(K, poses[i], scene, width, height) for i in range(len(poses))]
+    )

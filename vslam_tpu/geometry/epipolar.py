@@ -1,0 +1,183 @@
+"""Two-view epipolar geometry, batched for TPU.
+
+TPU-native rebuild of the reference's RansacFilter::compute_fundamental /
+compute_fundamental_residual (reference src/RansacFilter.cpp:69-140) and
+extract_Rt (reference src/helpers.cpp:3-35), with the reference's known
+defects fixed rather than replicated:
+
+  * Hartley point normalization before the 8-point solve (the reference's
+    TODO at src/RansacFilter.cpp:40).
+  * Sampson error with the correct denominator (the reference's residual has
+    an operator-precedence bug at src/RansacFilter.cpp:126: ``a/b + c`` where
+    ``a/(b+c)`` was intended).
+  * Full 4-candidate cheirality voting for E -> (R, t) (the reference picks R
+    by a trace heuristic and forces t.z >= 0, src/helpers.cpp:28-33, both
+    flagged TODO).
+
+Everything is shaped for ``vmap``: the minimal solve maps over a hypotheses
+axis, so thousands of 8-point problems run as one batched eigendecomposition —
+the completed form of the per-thread model fit sketched in the reference's
+unfinished CUDA kernel (src/ransac.cu:10-26).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def hartley_normalize(uv, mask):
+    """Similarity transform sending masked points to zero-mean, mean distance
+    sqrt(2). Returns (uv_norm (N,2), T (3,3))."""
+    w = mask.astype(uv.dtype)
+    n = jnp.maximum(w.sum(), 1.0)
+    mean = (uv * w[:, None]).sum(axis=0) / n
+    centered = (uv - mean) * w[:, None]
+    dist = jnp.sqrt((centered ** 2).sum(axis=1) + 1e-12)
+    mean_dist = (dist * w).sum() / n
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_dist, 1e-9)
+    T = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=uv.dtype
+    )
+    T = T.at[0, 0].set(s).at[1, 1].set(s).at[0, 2].set(-s * mean[0]).at[1, 2].set(-s * mean[1])
+    return (uv - mean) * s, T
+
+
+def _constraint_rows(uv1, uv2):
+    """Epipolar constraint rows x2' F x1 = 0 (reference RansacFilter.cpp:79-89).
+    uv1, uv2: (..., N, 2) -> (..., N, 9)."""
+    u1, v1 = uv1[..., 0], uv1[..., 1]
+    u2, v2 = uv2[..., 0], uv2[..., 1]
+    one = jnp.ones_like(u1)
+    return jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], axis=-1
+    )
+
+
+def fundamental_from_8pt(uv1, uv2):
+    """Least-squares fundamental matrix from >=8 correspondences.
+
+    The null vector of the (N,9) constraint matrix is found via an
+    eigendecomposition of the 9x9 normal matrix A^T A — symmetric eigh is the
+    TPU-friendly form of the reference's SVD-of-A (src/RansacFilter.cpp:94),
+    and batches cleanly under vmap. Rank-2 is enforced with a batched 3x3 SVD
+    (src/RansacFilter.cpp:98-101).
+
+    Args:
+      uv1, uv2: (N, 2) matched pixel coordinates (N static, typically 8).
+    Returns:
+      (3, 3) fundamental matrix with ||F|| = 1, rank 2, in pixel coordinates.
+    """
+    n1, T1 = hartley_normalize(uv1, jnp.ones(uv1.shape[0], bool))
+    n2, T2 = hartley_normalize(uv2, jnp.ones(uv2.shape[0], bool))
+    A = _constraint_rows(n1, n2)  # (N, 9)
+    # Null vector via SVD of A itself: in f32 the error scales with cond(A),
+    # not cond(A)^2 as the eigh(A^T A) normal-equations route would.
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    f = Vt[-1]
+    F = f.reshape(3, 3)
+    # Rank-2 projection
+    U, D, Vt = jnp.linalg.svd(F)
+    F = (U * D.at[2].set(0.0)[None, :]) @ Vt
+    # Denormalize: F_px = T2^T F T1
+    F = T2.T @ F @ T1
+    norm = jnp.linalg.norm(F) + 1e-12
+    return F / norm
+
+
+def sampson_error(F, uv1, uv2):
+    """First-order geometric (Sampson) epipolar error, squared, in px^2.
+
+    Correct form of the reference residual (src/RansacFilter.cpp:119-126).
+
+    Args:
+      F: (..., 3, 3); uv1, uv2: (N, 2).
+    Returns:
+      (..., N) squared Sampson distance.
+    """
+    ones = jnp.ones_like(uv1[..., :1])
+    x1 = jnp.concatenate([uv1, ones], axis=-1)  # (N, 3)
+    x2 = jnp.concatenate([uv2, ones], axis=-1)
+    Fx1 = jnp.einsum("...ij,nj->...ni", F, x1)      # (..., N, 3)
+    Ftx2 = jnp.einsum("...ji,nj->...ni", F, x2)     # (..., N, 3)
+    num = jnp.einsum("ni,...ni->...n", x2, Fx1) ** 2
+    den = (
+        Fx1[..., 0] ** 2 + Fx1[..., 1] ** 2 + Ftx2[..., 0] ** 2 + Ftx2[..., 1] ** 2
+    )
+    return num / jnp.maximum(den, 1e-12)
+
+
+def essential_from_fundamental(F, K):
+    """E = K^T F K (reference src/helpers.cpp:4), with (1,1,0) singular-value
+    projection so E is a valid essential matrix."""
+    E = K.T @ F @ K
+    U, D, Vt = jnp.linalg.svd(E)
+    s = (D[0] + D[1]) * 0.5
+    E = (U * jnp.array([1.0, 1.0, 0.0], E.dtype)[None, :] * s) @ Vt
+    return E
+
+
+def decompose_essential(E):
+    """SVD decomposition of E into the 4 (R, t) candidates.
+
+    Returns:
+      Rs: (4, 3, 3) rotations (det +1), ts: (4, 3) unit translations.
+    Convention: x2 = R x1 + t maps camera-1 coordinates to camera-2.
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    # Keep proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    t = t / (jnp.linalg.norm(t) + 1e-12)
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return Rs, ts
+
+
+def triangulate_midpoint_depths(K, R, t, uv1, uv2):
+    """Fast two-view depths for cheirality voting (no SVD needed).
+
+    Solves, per correspondence, the 2-unknown least-squares problem
+    z2 * r2 = z1 * R r1 + t for (z1, z2), where r are unit rays.
+
+    Returns (z1, z2): (..., N) depths in each camera.
+    """
+    K_inv = jnp.linalg.inv(K)
+    ones = jnp.ones_like(uv1[..., :1])
+    r1 = jnp.einsum("ij,nj->ni", K_inv, jnp.concatenate([uv1, ones], -1))
+    r2 = jnp.einsum("ij,nj->ni", K_inv, jnp.concatenate([uv2, ones], -1))
+    Rr1 = jnp.einsum("...ij,nj->...ni", R, r1)  # (..., N, 3)
+    r2b = jnp.broadcast_to(r2, Rr1.shape)
+    # minimize || z1 * Rr1 - z2 * r2 + t ||^2 over (z1, z2)
+    a = jnp.sum(Rr1 * Rr1, -1)
+    b = -jnp.sum(Rr1 * r2b, -1)
+    c = jnp.sum(r2b * r2b, -1)
+    tb = jnp.broadcast_to(t[..., None, :], Rr1.shape)
+    d = -jnp.sum(Rr1 * tb, -1)
+    e = jnp.sum(r2b * tb, -1)
+    det = a * c - b * b
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    z1 = (d * c - b * e) / det
+    z2 = (a * e - b * d) / det
+    return z1, z2
+
+
+def recover_pose(E, K, uv1, uv2, mask):
+    """Select the (R, t) candidate with the most points in front of both
+    cameras — the proper 4-way cheirality check the reference skipped
+    (src/helpers.cpp:28-33).
+
+    Args:
+      E: (3,3); K: (3,3); uv1, uv2: (N,2) matches; mask: (N,) inlier mask.
+    Returns:
+      R (3,3), t (3,), votes (4,) in-front counts per candidate.
+    """
+    Rs, ts = decompose_essential(E)  # (4,3,3), (4,3)
+    z1, z2 = triangulate_midpoint_depths(K, Rs, ts, uv1, uv2)  # (4, N)
+    good = (z1 > 0) & (z2 > 0) & mask[None, :]
+    votes = good.sum(axis=1)
+    best = jnp.argmax(votes)
+    return Rs[best], ts[best], votes

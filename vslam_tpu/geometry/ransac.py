@@ -1,0 +1,188 @@
+"""Generic massively-parallel RANSAC on TPU.
+
+This is the completed, TPU-native form of the reference's two unfinished /
+serial robust estimators:
+
+  * the 100-iteration serial hypothesize-and-verify loop
+    (reference src/RansacFilter.cpp:36-67), and
+  * the CUDA kernel sketch where each thread fits a model on one minimal
+    sample and a tree reduction selects the best
+    (reference src/ransac.cu:8-26 — non-compiling intent statement).
+
+Design: the hypothesis count H is a *batch dimension*. Minimal samples are
+drawn with a Gumbel top-k trick (vectorized sampling without replacement),
+the model fit is ``vmap``-ed over H (thousands of 9x9 eigendecompositions in
+one XLA op), verification is one (H, N) residual broadcast, and selection is
+an argmax over inlier counts — the "tree reduction" of ransac.cu:20-24,
+expressed as a single collective-friendly reduction. When a device mesh is
+present, H shards across chips and the argmax rides ICI (see
+parallel/sharded.py).
+
+Scoring: inlier count with MSAC-style truncated-loss tie-breaking (lower
+truncated residual sum wins among equal counts) — strictly better than the
+reference's buggy tie-break that preferred *larger* residual sums
+(src/RansacFilter.cpp:59).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RansacResult(NamedTuple):
+    model: jnp.ndarray        # best model parameters
+    inliers: jnp.ndarray      # (N,) bool inlier mask for the best model
+    num_inliers: jnp.ndarray  # () i32
+    best_score: jnp.ndarray   # () f32 truncated residual sum of best model
+    success: jnp.ndarray      # () bool
+
+
+def sample_minimal_sets(key, weights, num_hypotheses: int, sample_size: int):
+    """Draw (H, S) index sets without replacement within each set.
+
+    Gumbel top-k: per hypothesis, perturb log-weights with Gumbel noise and
+    take the top S — a fully vectorized equivalent of the reference's
+    swap-and-pop Fisher-Yates sampler (src/RansacFilter.cpp:19-32).
+
+    Args:
+      key: PRNG key.
+      weights: (N,) nonnegative sampling weights (0 excludes an index).
+    Returns:
+      (H, S) int32 indices.
+    """
+    n = weights.shape[0]
+    logw = jnp.where(weights > 0, jnp.log(jnp.maximum(weights, 1e-30)), -jnp.inf)
+    g = jax.random.gumbel(key, (num_hypotheses, n))
+    _, idx = jax.lax.top_k(logw[None, :] + g, sample_size)
+    return idx.astype(jnp.int32)
+
+
+def ransac(
+    key,
+    fit_fn: Callable,
+    residual_fn: Callable,
+    data_fit,
+    data_verify,
+    valid_mask,
+    num_hypotheses: int,
+    sample_size: int,
+    inlier_threshold: float,
+    min_inliers: int = 8,
+) -> RansacResult:
+    """Generic batched hypothesize-and-verify.
+
+    Args:
+      fit_fn: pytree_of_(S,…)-samples -> model. Will be vmapped over H.
+      residual_fn: (model, data_verify) -> (N,) squared residuals. vmapped.
+      data_fit: pytree of (N, …) arrays gathered for minimal samples.
+      data_verify: pytree passed whole to residual_fn.
+      valid_mask: (N,) bool — which of the N rows are real data.
+      inlier_threshold: squared-residual threshold.
+    """
+    n = valid_mask.shape[0]
+    idx = sample_minimal_sets(
+        key, valid_mask.astype(jnp.float32), num_hypotheses, sample_size
+    )  # (H, S)
+
+    samples = jax.tree_util.tree_map(lambda a: a[idx], data_fit)  # (H, S, …)
+    models = jax.vmap(fit_fn)(samples)
+
+    resid = jax.vmap(lambda m: residual_fn(m, data_verify))(models)  # (H, N)
+    resid = jnp.where(valid_mask[None, :], resid, jnp.inf)
+    inlier = resid <= inlier_threshold
+    counts = inlier.sum(axis=1)  # (H,)
+    # MSAC truncated loss (for tie-breaking and refinement quality signal)
+    trunc = jnp.minimum(resid, inlier_threshold)
+    trunc = jnp.where(jnp.isfinite(trunc), trunc, 0.0)
+    score = trunc.sum(axis=1)
+
+    # Select: max count, then min truncated score. Combine into one sort key:
+    # the normalized score term is < 1, so it only breaks count ties.
+    combined = counts.astype(jnp.float32) - score / (score.max() + 1.0)
+    best = jnp.argmax(combined)
+
+    best_model = jax.tree_util.tree_map(lambda m: m[best], models)
+    best_inliers = inlier[best] & valid_mask
+    num = best_inliers.sum().astype(jnp.int32)
+    return RansacResult(
+        model=best_model,
+        inliers=best_inliers,
+        num_inliers=num,
+        best_score=score[best],
+        success=num >= min_inliers,
+    )
+
+
+def ransac_fundamental(
+    key,
+    uv1,
+    uv2,
+    valid_mask,
+    num_hypotheses: int = 2048,
+    inlier_threshold: float = 2.0,
+    min_inliers: int = 15,
+    refine: bool = True,
+) -> RansacResult:
+    """RANSAC fundamental-matrix estimation over padded match arrays.
+
+    The TPU replacement for RansacFilter::find_fundamental
+    (reference src/RansacFilter.cpp:36-67).
+
+    Args:
+      uv1, uv2: (N, 2) matched pixel coordinates (padded).
+      valid_mask: (N,) bool.
+    """
+    from . import epipolar
+
+    def fit(sample):
+        s1, s2 = sample
+        return epipolar.fundamental_from_8pt(s1, s2)
+
+    def residual(F, data):
+        d1, d2 = data
+        return epipolar.sampson_error(F, d1, d2)
+
+    result = ransac(
+        key,
+        fit,
+        residual,
+        data_fit=(uv1, uv2),
+        data_verify=(uv1, uv2),
+        valid_mask=valid_mask,
+        num_hypotheses=num_hypotheses,
+        sample_size=8,
+        inlier_threshold=inlier_threshold,
+        min_inliers=min_inliers,
+    )
+    if refine:
+        # One least-squares polish on all inliers (weighted 8-point): the
+        # classical local-optimization step the reference lacks.
+        w = result.inliers.astype(uv1.dtype)
+        F = _weighted_eight_point(uv1, uv2, w)
+        resid = epipolar.sampson_error(F, uv1, uv2)
+        inl = (resid <= inlier_threshold) & valid_mask
+        better = inl.sum() >= result.num_inliers
+        F = jnp.where(better, F, result.model)
+        inl = jnp.where(better, inl, result.inliers)
+        result = result._replace(
+            model=F, inliers=inl, num_inliers=inl.sum().astype(jnp.int32)
+        )
+    return result
+
+
+def _weighted_eight_point(uv1, uv2, w):
+    """Weighted least-squares F over all (masked) correspondences."""
+    from . import epipolar
+
+    mask = w > 0
+    n1, T1 = epipolar.hartley_normalize(uv1, mask)
+    n2, T2 = epipolar.hartley_normalize(uv2, mask)
+    A = epipolar._constraint_rows(n1, n2) * w[:, None]
+    _, _, Vt_A = jnp.linalg.svd(A, full_matrices=True)
+    F = Vt_A[-1].reshape(3, 3)
+    U, D, Vt = jnp.linalg.svd(F)
+    F = (U * D.at[2].set(0.0)[None, :]) @ Vt
+    F = T2.T @ F @ T1
+    return F / (jnp.linalg.norm(F) + 1e-12)
