@@ -1,0 +1,109 @@
+"""Frontend tests: detector localization against known landmark projections,
+descriptor repeatability across views, matcher oracle checks."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vslam_tpu.config import FrontendConfig, MatchingConfig
+from vslam_tpu.datasets import synthetic
+from vslam_tpu.frontend import frame as frame_mod
+from vslam_tpu.frontend.descriptors import pack_bits, unpack_bits
+from vslam_tpu.matching import hamming, matcher
+
+W, H = 256, 192
+K = np.array([[200.0, 0, 128.0], [0, 200.0, 96.0], [0, 0, 1.0]], np.float32)
+CFG = FrontendConfig(max_keypoints=256, grid_rows=4, grid_cols=4, border=17)
+
+
+def _render_pair(seed=0, n_points=160):
+    scene = synthetic.make_scene(num_points=n_points, seed=seed,
+                                 extent=(10, 5, 30), z_min=6.0)
+    poses = synthetic.make_trajectory(2, step=0.5, seed=seed)
+    img1 = synthetic.render_frame(K, poses[0], scene, W, H)
+    img2 = synthetic.render_frame(K, poses[1], scene, W, H)
+    return scene, poses, img1, img2
+
+
+class TestPacking:
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.RandomState(0)
+        bits = jnp.asarray(rng.rand(16, 256) > 0.5)
+        packed = pack_bits(bits)
+        assert packed.shape == (16, 8) and packed.dtype == jnp.uint32
+        un = unpack_bits(packed)
+        np.testing.assert_array_equal(np.asarray(un), np.asarray(bits).astype(np.int8))
+
+
+class TestHamming:
+    def test_matmul_equals_popcount(self):
+        rng = np.random.RandomState(1)
+        d1 = jnp.asarray(rng.randint(0, 2 ** 32, (64, 8), dtype=np.uint32))
+        d2 = jnp.asarray(rng.randint(0, 2 ** 32, (48, 8), dtype=np.uint32))
+        a = np.asarray(hamming.hamming_popcount(d1, d2))
+        b = np.asarray(hamming.hamming_matmul(d1, d2))
+        np.testing.assert_array_equal(a, b)
+        # numpy oracle
+        bits1 = np.unpackbits(np.asarray(d1).view(np.uint8), axis=1)
+        bits2 = np.unpackbits(np.asarray(d2).view(np.uint8), axis=1)
+        oracle = (bits1[:, None, :] != bits2[None, :, :]).sum(-1)
+        np.testing.assert_array_equal(a, oracle)
+
+
+class TestDetector:
+    def test_localizes_landmarks(self):
+        scene, poses, img1, _ = _render_pair()
+        feats = frame_mod.extract_features(jnp.asarray(img1), CFG, H, W)
+        uv = np.asarray(feats.uv)[np.asarray(feats.mask)]
+        assert len(uv) > 40, len(uv)
+        # each detection should be near a true projected landmark center
+        proj, z = synthetic.project_w(K, poses[0], scene.xyz)
+        vis = (z > 0) & (proj[:, 0] > 20) & (proj[:, 0] < W - 20) \
+            & (proj[:, 1] > 20) & (proj[:, 1] < H - 20)
+        d = np.linalg.norm(uv[:, None, :] - proj[None, vis, :], axis=2).min(axis=1)
+        frac_close = (d < 2.0).mean()
+        assert frac_close > 0.8, frac_close
+
+    def test_grid_distribution_cap(self):
+        scene, poses, img1, _ = _render_pair()
+        feats = frame_mod.extract_features(jnp.asarray(img1), CFG, H, W)
+        uv = np.asarray(feats.uv)[np.asarray(feats.mask)]
+        th, tw = H // CFG.grid_rows, W // CFG.grid_cols
+        k_tile = CFG.max_keypoints // (CFG.grid_rows * CFG.grid_cols)
+        for r in range(CFG.grid_rows):
+            for c in range(CFG.grid_cols):
+                in_tile = (
+                    (uv[:, 1] >= r * th) & (uv[:, 1] < (r + 1) * th)
+                    & (uv[:, 0] >= c * tw) & (uv[:, 0] < (c + 1) * tw)
+                ).sum()
+                assert in_tile <= k_tile + 2  # subpixel shift slack
+
+
+class TestMatching:
+    def test_two_view_descriptor_matches_follow_geometry(self):
+        scene, poses, img1, img2 = _render_pair()
+        f1 = frame_mod.extract_features(jnp.asarray(img1), CFG, H, W)
+        f2 = frame_mod.extract_features(jnp.asarray(img2), CFG, H, W)
+        res = matcher.match(f1.desc, f1.mask, f2.desc, f2.mask,
+                            MatchingConfig())
+        m = np.asarray(res.mask)
+        assert m.sum() > 25, m.sum()
+        # ground truth: which landmark does each keypoint sit on?
+        proj1, _ = synthetic.project_w(K, poses[0], scene.xyz)
+        proj2, _ = synthetic.project_w(K, poses[1], scene.xyz)
+        uv1 = np.asarray(f1.uv)
+        uv2 = np.asarray(f2.uv)
+        lm1 = np.linalg.norm(uv1[:, None] - proj1[None], axis=2).argmin(1)
+        lm2 = np.linalg.norm(uv2[:, None] - proj2[None], axis=2).argmin(1)
+        idx2 = np.asarray(res.idx2)
+        correct = (lm1[m] == lm2[idx2[m]]).mean()
+        assert correct > 0.9, correct
+
+    def test_cross_check_kills_asymmetric(self):
+        rng = np.random.RandomState(2)
+        d = jnp.asarray(rng.randint(0, 2 ** 32, (32, 8), dtype=np.uint32))
+        mask = jnp.ones(32, bool)
+        # identical sets: every kp matches itself with distance 0
+        res = matcher.match(d, mask, d, mask, MatchingConfig(lowe_ratio=0.9))
+        np.testing.assert_array_equal(np.asarray(res.idx2), np.arange(32))
+        assert bool(res.mask.all())
+        assert (np.asarray(res.distance) == 0).all()

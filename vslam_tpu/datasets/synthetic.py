@@ -46,11 +46,18 @@ def make_scene(
         ],
         axis=1,
     ).astype(np.float32)
-    # High-contrast random patches -> strong Shi-Tomasi response + distinctive
-    # BRIEF bits. Center brightened so the detector peaks at the true center.
-    patches = rng.uniform(0.0, 1.0, (num_points, patch_size, patch_size)).astype(np.float32)
+    # Patch design: low-contrast random texture (distinctive BRIEF bits per
+    # landmark) + a high-contrast checkerboard X-corner at the patch center so
+    # the Shi-Tomasi maximum localizes at the landmark's projection.
+    patches = rng.uniform(0.3, 0.7, (num_points, patch_size, patch_size)).astype(np.float32)
     c = patch_size // 2
-    patches[:, c, c] = 1.0
+    hi = rng.uniform(0.85, 1.0, (num_points, 1, 1)).astype(np.float32)
+    lo = rng.uniform(0.0, 0.15, (num_points, 1, 1)).astype(np.float32)
+    q = 2  # quadrant half-size; X-junction at (c-0.5, c-0.5)
+    patches[:, c - q : c, c - q : c] = hi
+    patches[:, c : c + q, c : c + q] = hi
+    patches[:, c - q : c, c : c + q] = lo
+    patches[:, c : c + q, c - q : c] = lo
     color = rng.uniform(0.2, 1.0, (num_points, 3)).astype(np.float32)
     return Scene(xyz=xyz, patches=patches, color=color)
 

@@ -1,0 +1,179 @@
+"""Corner detection as batched convolutions + tiled top-k.
+
+TPU-native rebuild of the reference's feature front-end:
+  * the active Shi-Tomasi path (`cv::goodFeaturesToTrack`, reference
+    src/Frame.cpp:61: 3000 corners, quality 0.01, min distance 3) becomes a
+    structure-tensor min-eigenvalue response computed with depthwise
+    convolutions, non-max suppression by max-pooling, and a top-k selection;
+  * the dormant 5x5 grid-tiled ORB path (reference src/Frame.cpp:16-51)
+    becomes the *default* selection strategy: top-k per image tile, which
+    yields the spatial distribution ORB-SLAM-style systems want and maps to
+    a single reshaped top-k on TPU.
+
+Everything returns fixed-size padded arrays (capacity = config max_keypoints)
+with validity masks — XLA static shapes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrontendConfig
+
+
+def _conv2d(img, kernel):
+    """Single-channel 2D convolution, SAME padding. img (H,W), kernel (kh,kw)."""
+    return jax.lax.conv_general_dilated(
+        img[None, None, :, :],
+        kernel[None, None, :, :].astype(img.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+    )[0, 0]
+
+
+def sobel_gradients(img):
+    """Ix, Iy via 3x3 Sobel."""
+    kx = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
+    ky = kx.T
+    return _conv2d(img, kx), _conv2d(img, ky)
+
+
+def _box_filter(img, radius: int):
+    k = jnp.ones((2 * radius + 1, 2 * radius + 1)) / float((2 * radius + 1) ** 2)
+    return _conv2d(img, k)
+
+
+def gaussian_kernel_1d(sigma: float, radius: int):
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return jnp.asarray(k / k.sum())
+
+
+def gaussian_blur(img, sigma: float, radius: int | None = None):
+    """Separable Gaussian blur."""
+    if radius is None:
+        radius = max(1, int(3.0 * sigma + 0.5))
+    k = gaussian_kernel_1d(sigma, radius)
+    img = _conv2d(img, k[None, :])
+    img = _conv2d(img, k[:, None])
+    return img
+
+
+def corner_response(img, score: str = "shi_tomasi", harris_k: float = 0.04,
+                    window_radius: int = 2):
+    """Structure-tensor corner response map.
+
+    shi_tomasi: min eigenvalue of the structure tensor (what
+    goodFeaturesToTrack computes, reference src/Frame.cpp:61).
+    harris: det - k trace^2 (what the reference's grid-ORB used via
+    cv::ORB HARRIS_SCORE, src/Frame.cpp:22).
+    """
+    ix, iy = sobel_gradients(img)
+    sxx = _box_filter(ix * ix, window_radius)
+    syy = _box_filter(iy * iy, window_radius)
+    sxy = _box_filter(ix * iy, window_radius)
+    if score == "harris":
+        det = sxx * syy - sxy * sxy
+        tr = sxx + syy
+        return det - harris_k * tr * tr
+    # min-eigenvalue (Shi-Tomasi)
+    half_tr = 0.5 * (sxx + syy)
+    disc = jnp.sqrt(jnp.maximum(0.25 * (sxx - syy) ** 2 + sxy * sxy, 0.0))
+    return half_tr - disc
+
+
+def nms(response, radius: int):
+    """Non-max suppression: keep pixels equal to their window max
+    (the functional equivalent of goodFeaturesToTrack's min-distance,
+    reference src/Frame.cpp:61)."""
+    win = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        response,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(win, win),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    return response >= pooled
+
+
+def _subpixel_offsets(response, ys, xs):
+    """Quadratic 3-point sub-pixel refinement along each axis."""
+    H, W = response.shape
+
+    def sample(dy, dx):
+        yy = jnp.clip(ys + dy, 0, H - 1)
+        xx = jnp.clip(xs + dx, 0, W - 1)
+        return response[yy, xx]
+
+    c = sample(0, 0)
+    def axis_offset(m, p):
+        denom = m - 2.0 * c + p
+        off = 0.5 * (m - p) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = axis_offset(sample(0, -1), sample(0, 1))
+    dy = axis_offset(sample(-1, 0), sample(1, 0))
+    return dy, dx
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def detect(img, cfg: FrontendConfig, height: int, width: int):
+    """Detect corners on a (height, width) grayscale image.
+
+    Returns (uv (N,2) f32, score (N,) f32, mask (N,) bool), N = cfg.max_keypoints.
+
+    Selection: the image is split into cfg.grid_rows x cfg.grid_cols tiles and
+    the strongest k-per-tile responses are kept (idiomatic form of the
+    reference's per-cell cap, src/Frame.cpp:27-42). Quality gating mirrors
+    goodFeaturesToTrack: response >= quality_level * max response.
+    """
+    resp = corner_response(img, cfg.score, cfg.harris_k)
+    keep = nms(resp, cfg.nms_radius)
+
+    H, W = height, width
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    b = cfg.border
+    in_border = (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
+
+    masked = jnp.where(keep & in_border, resp, -jnp.inf)
+
+    n = cfg.max_keypoints
+    gr, gc = cfg.grid_rows, cfg.grid_cols
+    if gr > 0 and gc > 0 and H % gr == 0 and W % gc == 0 and n % (gr * gc) == 0:
+        th, tw = H // gr, W // gc
+        k_tile = n // (gr * gc)
+        tiles = masked.reshape(gr, th, gc, tw).transpose(0, 2, 1, 3).reshape(
+            gr * gc, th * tw
+        )
+        vals, idx = jax.lax.top_k(tiles, k_tile)  # (T, k)
+        ty = idx // tw
+        tx = idx % tw
+        tile_row = jax.lax.broadcasted_iota(jnp.int32, (gr * gc, k_tile), 0) // gc
+        tile_col = jax.lax.broadcasted_iota(jnp.int32, (gr * gc, k_tile), 0) % gc
+        ys = (tile_row * th + ty).reshape(-1)
+        xs = (tile_col * tw + tx).reshape(-1)
+        scores = vals.reshape(-1)
+    else:
+        vals, idx = jax.lax.top_k(masked.reshape(-1), n)
+        ys = idx // W
+        xs = idx % W
+        scores = vals
+
+    max_resp = jnp.max(resp)
+    valid = (scores > cfg.quality_level * max_resp) & jnp.isfinite(scores)
+
+    dy, dx = _subpixel_offsets(resp, ys, xs)
+    uv = jnp.stack(
+        [xs.astype(jnp.float32) + dx, ys.astype(jnp.float32) + dy], axis=1
+    )
+    # Re-sort globally by score so truncation (if any) keeps the best, and
+    # padded/invalid entries sink to the end.
+    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
+    order = order[:n]
+    return uv[order], jnp.where(valid, scores, 0.0)[order], valid[order]

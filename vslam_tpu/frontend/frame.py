@@ -1,0 +1,30 @@
+"""Per-frame feature extraction: the jitted analogue of the reference's
+``extract_features(Frame&)`` (reference src/Frame.cpp:53-80).
+
+One call turns a grayscale image into a fixed-capacity FrameFeatures pytree:
+detect -> orient -> describe, all fused under a single jit. The KD-tree the
+reference builds per frame (src/Frame.cpp:76) has no equivalent here: spatial
+queries are batched distance computations (matching/projection.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FrontendConfig
+from ..core.types import FrameFeatures
+from . import descriptors, features
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def extract_features(img, cfg: FrontendConfig, height: int, width: int) -> FrameFeatures:
+    """img: (height, width) float32 grayscale in [0, 1]."""
+    uv, score, mask = features.detect(img, cfg, height, width)
+    blurred = features.gaussian_blur(img, cfg.blur_sigma)
+    angle = descriptors.compute_orientations(blurred, uv, cfg.patch_radius)
+    desc = descriptors.describe(blurred, uv, angle, cfg)
+    # Zero descriptors of invalid slots so padded rows can't accidentally match.
+    desc = jnp.where(mask[:, None], desc, 0)
+    return FrameFeatures(uv=uv, desc=desc, score=score, mask=mask, angle=angle)

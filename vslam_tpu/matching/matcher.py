@@ -1,0 +1,68 @@
+"""Descriptor matching: knn-2 + Lowe ratio + cross-check, fully batched.
+
+Functional rebuild of the reference's match_features
+(reference src/Frame.cpp:82-105): BFMatcher knnMatch k=2 with ratio 0.7
+becomes one distance matrix + top-2 reduction; the cross-check the reference
+left as a TODO (src/Frame.cpp:103) is a mutual-argmin test computed from the
+same matrix for free. RANSAC geometric filtering happens downstream
+(geometry/ransac.py), mirroring the reference's pipeline order.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MatchingConfig
+from . import hamming
+
+_BIG = 1 << 14  # larger than any 256-bit Hamming distance
+
+
+class MatchResult(NamedTuple):
+    idx2: jnp.ndarray      # (N1,) i32 — matched index in frame2 per frame1 kp
+    mask: jnp.ndarray      # (N1,) bool — match survived ratio + cross-check
+    distance: jnp.ndarray  # (N1,) i32 — Hamming distance of the match
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_matmul"))
+def match(desc1, mask1, desc2, mask2, cfg: MatchingConfig,
+          use_matmul: bool = True) -> MatchResult:
+    """Match packed descriptors between two frames.
+
+    Args:
+      desc1: (N1, 8) uint32; mask1: (N1,) bool valid rows.
+      desc2: (N2, 8) uint32; mask2: (N2,) bool.
+    """
+    D = (hamming.hamming_matmul if use_matmul else hamming.hamming_popcount)(
+        desc1, desc2
+    )
+    # Invalidate padded rows/cols.
+    D = jnp.where(mask1[:, None] & mask2[None, :], D, _BIG)
+
+    # top-2 smallest per row (Lowe ratio test, reference src/Frame.cpp:91)
+    neg2, idx2 = jax.lax.top_k(-D, 2)  # (N1, 2)
+    d_best = -neg2[:, 0]
+    d_second = -neg2[:, 1]
+    best_j = idx2[:, 0]
+    ratio_ok = d_best.astype(jnp.float32) < cfg.lowe_ratio * d_second.astype(
+        jnp.float32
+    )
+
+    ok = ratio_ok & mask1 & (d_best < _BIG)
+    if cfg.cross_check:
+        best_i_of_j = jnp.argmin(D, axis=0)  # (N2,)
+        n1 = desc1.shape[0]
+        rows = jnp.arange(n1, dtype=jnp.int32)
+        ok = ok & (best_i_of_j[best_j] == rows)
+
+    return MatchResult(idx2=best_j.astype(jnp.int32), mask=ok,
+                       distance=d_best.astype(jnp.int32))
+
+
+def match_pairs(result: MatchResult):
+    """(N1, 2) i32 [i, j] match pairs (row i valid iff result.mask[i])."""
+    n1 = result.idx2.shape[0]
+    return jnp.stack([jnp.arange(n1, dtype=jnp.int32), result.idx2], axis=1)
