@@ -157,8 +157,25 @@ def render_frame(
         if not vis[i]:
             continue
         x, y = uv[i]
-        xi, yi = int(round(x)), int(round(y))
-        img[yi - r : yi + r + 1, xi - r : xi + r + 1] = scene.patches[i]
+        xi, yi = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - xi, y - yi
+        # sub-pixel placement: resample the patch by the fractional offset
+        # (bilinear) so detector localization ground truth is exact, then
+        # paint at the integer position.
+        p = scene.patches[i]
+        pp = np.pad(p, 1, mode="edge")
+        # value at output pixel (r+dy, c+dx) = patch sampled at (r-fy, c-fx)
+        w00 = (1 - fy) * (1 - fx)
+        w01 = (1 - fy) * fx
+        w10 = fy * (1 - fx)
+        w11 = fy * fx
+        shifted = (
+            w00 * pp[1:-1, 1:-1]
+            + w01 * pp[1:-1, :-2]
+            + w10 * pp[:-2, 1:-1]
+            + w11 * pp[:-2, :-2]
+        )
+        img[yi - r : yi + r + 1, xi - r : xi + r + 1] = shifted
     return img
 
 

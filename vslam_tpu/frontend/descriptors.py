@@ -30,12 +30,15 @@ _PATTERN_SEED = 42
 @functools.lru_cache(maxsize=None)
 def brief_pattern(bits: int = 256, patch_radius: int = 15):
     """(bits, 4) float32 [x1, y1, x2, y2] sampling offsets, Gaussian-distributed
-    (BRIEF G-II), clipped inside the patch. Fixed at import by seed."""
+    (BRIEF G-II), clipped inside the patch. Fixed at import by seed.
+
+    Returns numpy (NOT jnp): cached device arrays created inside a jit trace
+    would leak tracers into later traces."""
     rng = np.random.RandomState(_PATTERN_SEED)
     sigma = patch_radius / 2.5
     pts = rng.randn(bits, 4) * sigma
     pts = np.clip(pts, -(patch_radius - 1), patch_radius - 1)
-    return jnp.asarray(pts.astype(np.float32))
+    return pts.astype(np.float32)
 
 
 def _gather_bilinear(img, y, x):
@@ -67,12 +70,12 @@ def _gather_bilinear(img, y, x):
 
 @functools.lru_cache(maxsize=None)
 def _centroid_grids(radius: int):
-    d = 2 * radius + 1
+    """Numpy grids (see brief_pattern for why not jnp)."""
     ys = np.arange(-radius, radius + 1, dtype=np.float32)
     xs = np.arange(-radius, radius + 1, dtype=np.float32)
     gy, gx = np.meshgrid(ys, xs, indexing="ij")
     mask = (gx ** 2 + gy ** 2) <= radius ** 2  # circular patch like ORB
-    return jnp.asarray(gy), jnp.asarray(gx), jnp.asarray(mask.astype(np.float32))
+    return gy, gx, mask.astype(np.float32)
 
 
 def compute_orientations(img, uv, patch_radius: int):

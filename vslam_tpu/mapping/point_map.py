@@ -1,0 +1,168 @@
+"""Functional persistent world map.
+
+TPU-native rebuild of the reference's PointMap (reference
+include/PointMap.h:10-24, src/PointMap.cpp):
+
+  * ``insert_points``    ≈ add_reprojection_inliers (src/PointMap.cpp:3-34) —
+    masked scatter at an insert cursor instead of realloc-and-copy growth.
+  * descriptor archive   ≈ the per-point observation lists frame_ids /
+    frame_point_ids (PointMap.h:15-16). We store a rolling window of K
+    observation descriptors per point, so the min-over-observations Hamming
+    cost ``orb_distance`` (src/PointMap.cpp:36-46) becomes a masked min over
+    the K axis.
+  * ``associate``        ≈ the search-by-projection block inlined in main
+    (src/vslam.cpp:129-161): project -> frustum test -> radius search ->
+    min-Hamming gate. The KD-tree radius query (src/vslam.cpp:149,
+    KDTree.cpp:145-171) becomes a dense masked distance reduction, scanned
+    over fixed-size map blocks to bound memory; per block the descriptor
+    distances are int8 bit-plane matmuls on the MXU.
+
+Association here is argmin-per-keypoint, which is strictly better than the
+reference's first-candidate-wins loop (and immune to its `> 0` vs `>= 0`
+map-id bug, src/vslam.cpp:114,239).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MapConfig, MatchingConfig
+from ..core.types import MapState
+from ..frontend.descriptors import unpack_bits
+
+
+def insert_points(m: MapState, xyz, color, desc, valid) -> MapState:
+    """Append masked rows at the insert cursor.
+
+    Args:
+      xyz: (B, 3) world points; color: (B, 3); desc: (B, 8) uint32 packed
+      descriptor of the founding observation; valid: (B,) bool.
+    Rows beyond capacity are dropped silently (cursor saturates).
+    """
+    C = m.capacity
+    offs = jnp.cumsum(valid.astype(jnp.int32)) - 1          # (B,)
+    pos = jnp.where(valid, m.size + offs, C)                # C = out-of-range -> drop
+    pos = jnp.where(pos < C, pos, C)
+    m2 = MapState(
+        xyz=m.xyz.at[pos].set(xyz, mode="drop"),
+        color=m.color.at[pos].set(color, mode="drop"),
+        desc=m.desc.at[pos, 0].set(desc, mode="drop"),
+        desc_count=m.desc_count.at[pos].set(1, mode="drop"),
+        alive=m.alive.at[pos].set(True, mode="drop"),
+        size=jnp.minimum(m.size + valid.sum().astype(jnp.int32), C),
+    )
+    return m2
+
+
+def add_observations(m: MapState, point_ids, desc, valid) -> MapState:
+    """Record a new observation descriptor for existing map points.
+
+    point_ids: (N,) i32 (-1 or invalid rows dropped); desc: (N, 8) uint32.
+    Descriptors go into a rolling slot (desc_count % K), the functional
+    version of the reference pushing onto frame_ids/frame_point_ids
+    (src/vslam.cpp:116-117,154-156).
+    """
+    K = m.desc.shape[1]
+    ok = valid & (point_ids >= 0)
+    pid = jnp.where(ok, point_ids, m.capacity)  # drop via out-of-range
+    slot = jnp.where(ok, m.desc_count[jnp.clip(point_ids, 0, m.capacity - 1)] % K, 0)
+    return m.replace(
+        desc=m.desc.at[pid, slot].set(desc, mode="drop"),
+        desc_count=m.desc_count.at[pid].add(ok.astype(jnp.int32), mode="drop"),
+    )
+
+
+class AssociationResult(NamedTuple):
+    point_id: jnp.ndarray   # (N,) i32 best map point per keypoint, -1 if none
+    distance: jnp.ndarray   # (N,) i32 Hamming distance of the association
+
+
+@functools.partial(jax.jit, static_argnames=("map_cfg", "match_cfg", "width", "height"))
+def associate(
+    m: MapState,
+    P,                      # (3, 4) projection matrix of the current frame
+    kp_uv,                  # (N, 2) keypoint pixels
+    kp_desc,                # (N, 8) packed descriptors
+    kp_free,                # (N,) bool — keypoint valid AND not yet associated
+    map_cfg: MapConfig,
+    match_cfg: MatchingConfig,
+    width: int,
+    height: int,
+) -> AssociationResult:
+    """Search-by-projection over the whole map, scanned in blocks.
+
+    For every free keypoint: the alive map point that (a) projects within
+    ``match_cfg.search_radius`` pixels of it, (b) is in front of the camera
+    and inside the image, and (c) minimizes the min-over-archive Hamming
+    distance, accepted if that distance < ``match_cfg.hamming_max``
+    (reference gate at src/vslam.cpp:152-153, DISTANCE_THRESHOLD=64).
+    """
+    C = m.capacity
+    B = map_cfg.block_size
+    assert C % B == 0
+    N = kp_uv.shape[0]
+    K = m.desc.shape[1]
+    r_sq = match_cfg.search_radius ** 2
+
+    kp_bits = unpack_bits(kp_desc)                    # (N, 256) int8
+    kp_x = kp_uv[:, 0]
+    kp_y = kp_uv[:, 1]
+
+    def block(carry, start):
+        best_d, best_id = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, B, axis=0)
+        xyz = sl(m.xyz)                               # (B, 3)
+        alive = sl(m.alive)
+        desc = sl(m.desc)                             # (B, K, 8)
+        dcount = sl(m.desc_count)
+
+        Xh = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], axis=1)
+        proj = Xh @ P.T                               # (B, 3)
+        z = proj[:, 2]
+        safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = proj[:, 0] / safe
+        v = proj[:, 1] / safe
+        vis = alive & (z > 0.1) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+
+        # pixel gate: (B, N)
+        du = u[:, None] - kp_x[None, :]
+        dv = v[:, None] - kp_y[None, :]
+        near = (du * du + dv * dv) <= r_sq
+
+        # Hamming: min over the K archive slots; each slot is one int8 matmul.
+        ham = jnp.full((B, N), 1 << 14, jnp.int32)
+        for k in range(K):
+            slot_valid = (dcount > k)[:, None]        # (B, 1)
+            bits = unpack_bits(desc[:, k, :])         # (B, 256) int8
+            ab = jax.lax.dot_general(
+                bits, kp_bits,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            d_k = (
+                jnp.sum(bits.astype(jnp.int32), 1)[:, None]
+                + jnp.sum(kp_bits.astype(jnp.int32), 1)[None, :]
+                - 2 * ab
+            )
+            ham = jnp.where(slot_valid, jnp.minimum(ham, d_k), ham)
+
+        ok = vis[:, None] & near & kp_free[None, :] & (ham < match_cfg.hamming_max)
+        ham_m = jnp.where(ok, ham, 1 << 14)
+        blk_best = jnp.min(ham_m, axis=0)             # (N,)
+        blk_arg = jnp.argmin(ham_m, axis=0)           # (N,)
+        improved = blk_best < best_d
+        best_d = jnp.where(improved, blk_best, best_d)
+        best_id = jnp.where(improved, start + blk_arg, best_id)
+        return (best_d, best_id), None
+
+    init = (jnp.full((N,), 1 << 14, jnp.int32), jnp.full((N,), -1, jnp.int32))
+    starts = jnp.arange(0, C, B, dtype=jnp.int32)
+    (best_d, best_id), _ = jax.lax.scan(block, init, starts)
+    found = best_d < match_cfg.hamming_max
+    return AssociationResult(
+        point_id=jnp.where(found, best_id, -1),
+        distance=best_d,
+    )

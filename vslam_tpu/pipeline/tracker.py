@@ -1,0 +1,224 @@
+"""The per-frame tracking step: the jitted heart of the SLAM pipeline.
+
+Functional rebuild of the reference's inline main() loop body
+(reference src/vslam.cpp:53-290): extract -> match -> RANSAC F -> E -> (R, t)
+-> pose chain -> match-id propagation -> search-by-projection association ->
+triangulation -> reprojection gate -> map insert. One ``track_step`` call is
+one XLA program; the frame-to-frame loop stays on the host (inherently
+sequential — frame t needs pose t-1; throughput comes from inside-frame
+batch parallelism, SURVEY.md §7 "hard parts").
+
+Improvements over the reference (deliberate, per SURVEY.md §7):
+  * world-frame-consistent map (the reference triangulates every pair in the
+    *previous camera's* frame and inserts those coordinates directly into the
+    global map, src/vslam.cpp:123-125,186 — mixing frames);
+  * monocular scale propagation from re-observed map points (the reference
+    uses unit translation every step, src/helpers.cpp:12);
+  * proper cheirality, triangulation gates, argmin association.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+import flax.struct as struct
+
+from ..config import VSLAMConfig
+from ..core import camera as cam
+from ..core import lie
+from ..core.types import FrameFeatures, MapState, empty_features, empty_map
+from ..frontend.frame import extract_features
+from ..geometry import epipolar, ransac, triangulation
+from ..mapping import point_map
+from ..matching import matcher
+
+
+@struct.dataclass
+class TrackerState:
+    pose: jnp.ndarray          # (4, 4) T_wc of the latest tracked frame
+    prev: FrameFeatures        # features of the latest frame
+    prev_map_id: jnp.ndarray   # (N,) i32 map point id per previous-frame kp
+    map: MapState
+    frame_idx: jnp.ndarray     # () i32
+    scale: jnp.ndarray         # () f32 — running translation scale estimate
+
+
+class TrackOutput(NamedTuple):
+    pose: jnp.ndarray
+    num_matches: jnp.ndarray
+    num_inliers: jnp.ndarray
+    num_cheirality: jnp.ndarray
+    num_associated: jnp.ndarray
+    num_new_points: jnp.ndarray
+    map_size: jnp.ndarray
+    scale: jnp.ndarray
+    success: jnp.ndarray
+
+
+def init_state(cfg: VSLAMConfig) -> TrackerState:
+    n = cfg.frontend.max_keypoints
+    return TrackerState(
+        pose=jnp.eye(4, dtype=jnp.float32),
+        prev=empty_features(n),
+        prev_map_id=jnp.full((n,), -1, jnp.int32),
+        map=empty_map(cfg.map.capacity, cfg.map.obs_per_point),
+        frame_idx=jnp.zeros((), jnp.int32),
+        scale=jnp.ones((), jnp.float32),
+    )
+
+
+def _masked_median(x, mask, fallback):
+    """Median of x where mask, else fallback. Static-shape via sort."""
+    big = jnp.where(mask, x, jnp.inf)
+    s = jnp.sort(big)
+    n = mask.sum()
+    mid = jnp.maximum(n - 1, 0) // 2
+    med = s[jnp.clip(mid, 0, x.shape[0] - 1)]
+    return jnp.where(n > 0, med, fallback)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bootstrap(img, cfg: VSLAMConfig) -> TrackerState:
+    """Initialize from the first frame (reference src/vslam.cpp:67-69)."""
+    H, W = cfg.camera.height, cfg.camera.width
+    feats = extract_features(img, cfg.frontend, H, W)
+    st = init_state(cfg)
+    return st.replace(prev=feats, frame_idx=jnp.ones((), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_step(state: TrackerState, img, key, cfg: VSLAMConfig):
+    """Track one new frame. Returns (new_state, TrackOutput)."""
+    H, W = cfg.camera.height, cfg.camera.width
+    K = jnp.asarray(cfg.camera.K())
+    N = cfg.frontend.max_keypoints
+
+    # 1. features ---------------------------------------------------------
+    feats = extract_features(img, cfg.frontend, H, W)
+
+    # 2. frame-to-frame matching (reference src/Frame.cpp:82-105) ---------
+    mres = matcher.match(
+        state.prev.desc, state.prev.mask, feats.desc, feats.mask, cfg.matching
+    )
+    uv1 = state.prev.uv                       # (N, 2)
+    uv2 = feats.uv[mres.idx2]                 # (N, 2) aligned by match
+    m_valid = mres.mask
+
+    # 3. robust F -> E -> (R, t) ------------------------------------------
+    rres = ransac.ransac_fundamental(
+        key, uv1, uv2, m_valid,
+        num_hypotheses=cfg.ransac.num_hypotheses,
+        inlier_threshold=cfg.ransac.inlier_threshold,
+        min_inliers=cfg.ransac.min_inliers,
+    )
+    E = epipolar.essential_from_fundamental(rres.model, K)
+    R, t_unit, votes = epipolar.recover_pose(E, K, uv1, uv2, rres.inliers)
+    pose_ok = rres.success & (jnp.max(votes) >= cfg.ransac.min_inliers)
+
+    # 4. monocular scale from re-observed map points ----------------------
+    # Triangulate inlier matches in the *previous camera frame* at unit
+    # baseline, compare predicted depths of already-mapped points.
+    P1_rel = jnp.concatenate([K, jnp.zeros((3, 1))], axis=1)
+    P2_rel = K @ jnp.concatenate([R, t_unit[:, None]], axis=1)
+    X_rel, w_rel = triangulation.triangulate_dlt(P1_rel, P2_rel, uv1, uv2)
+    z_rel = X_rel[:, 2]
+    # map-predicted depth of prev-frame keypoints that carry a map id
+    pid_prev = state.prev_map_id
+    has_map = (pid_prev >= 0) & rres.inliers
+    Xm = state.map.xyz[jnp.clip(pid_prev, 0, state.map.capacity - 1)]
+    T_cw_prev = lie.inv_T(state.pose)
+    Xm_c = jnp.einsum("ij,nj->ni", T_cw_prev[:3, :3], Xm) + T_cw_prev[:3, 3]
+    z_map = Xm_c[:, 2]
+    ratio = z_map / jnp.maximum(z_rel, 1e-6)
+    ratio_ok = has_map & (z_rel > 0.05) & (z_map > 0.05) & jnp.isfinite(ratio) \
+        & (ratio > 1e-3) & (ratio < 1e3)
+    scale = _masked_median(ratio, ratio_ok, state.scale)
+    scale = jnp.clip(scale, 1e-3, 1e3)
+    # First tracked pair defines world scale = 1.
+    scale = jnp.where(state.frame_idx <= 1, 1.0, scale)
+
+    # 5. pose chain (reference src/vslam.cpp:88, made convention-correct) --
+    T_c2c1 = lie.make_T(R, scale * t_unit)     # cam1 coords -> cam2 coords
+    T_c1c2 = lie.inv_T(T_c2c1)                 # relative motion
+    new_pose = state.pose @ T_c1c2
+    new_pose = jnp.where(pose_ok, new_pose, state.pose @ _constant_velocity())
+
+    # 6. map-id propagation along matches (reference src/vslam.cpp:111-118)
+    prop_src = jnp.where(m_valid & (pid_prev >= 0), pid_prev, -1)
+    map_id2 = jnp.full((N,), -1, jnp.int32)
+    tgt = jnp.where(prop_src >= 0, mres.idx2, N)   # N = drop
+    map_id2 = map_id2.at[tgt].set(prop_src, mode="drop")
+    # propagated points get a fresh observation descriptor recorded
+    new_map = point_map.add_observations(
+        state.map, map_id2, feats.desc, map_id2 >= 0
+    )
+
+    # 7. search-by-projection association (reference src/vslam.cpp:129-161)
+    P2 = cam.projection_matrix(K, new_pose)
+    kp_free = feats.mask & (map_id2 < 0)
+    assoc = point_map.associate(
+        new_map, P2, feats.uv, feats.desc, kp_free,
+        cfg.map, cfg.matching, W, H,
+    )
+    assoc_ok = (assoc.point_id >= 0) & pose_ok
+    map_id2 = jnp.where(assoc_ok, assoc.point_id, map_id2)
+    new_map = point_map.add_observations(new_map, assoc.point_id, feats.desc, assoc_ok)
+
+    # 8. triangulate new world points (reference src/vslam.cpp:186-251) ----
+    P1 = cam.projection_matrix(K, state.pose)
+    X_w, w_abs = triangulation.triangulate_dlt(P1, P2, uv1, uv2)
+    # per-match map id of the *target* keypoint after propagation/association
+    tgt_map_id = map_id2[mres.idx2]
+    fresh = rres.inliers & (tgt_map_id < 0) & pose_ok
+    gate = triangulation.triangulation_gate(
+        P1, P2, state.pose[:3, 3], new_pose[:3, 3], X_w, uv1, uv2, w_abs,
+        reproj_threshold_sq=cfg.triangulation.reproj_threshold_sq,
+        min_depth=cfg.triangulation.min_depth,
+        max_depth=cfg.triangulation.max_depth,
+    )
+    insert = fresh & gate
+    # color: sample the image at the keypoint (grayscale -> replicated RGB;
+    # the reference samples BGR with a row/col swap bug, src/vslam.cpp:248)
+    xi = jnp.clip(uv2[:, 0].astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(uv2[:, 1].astype(jnp.int32), 0, H - 1)
+    gray = img[yi, xi]
+    color = jnp.stack([gray, gray, gray], axis=1)
+    desc2 = feats.desc[mres.idx2]
+    new_map = point_map.insert_points(new_map, X_w, color, desc2, insert)
+
+    # newly inserted points: give the target keypoints their map ids
+    offs = jnp.cumsum(insert.astype(jnp.int32)) - 1
+    new_ids = jnp.where(insert, state.map.size + offs, -1)
+    new_ids = jnp.where(new_ids < new_map.capacity, new_ids, -1)
+    tgt2 = jnp.where(insert & (new_ids >= 0), mres.idx2, N)
+    map_id2 = map_id2.at[tgt2].set(new_ids, mode="drop")
+
+    out = TrackOutput(
+        pose=new_pose,
+        num_matches=m_valid.sum(),
+        num_inliers=rres.num_inliers,
+        num_cheirality=jnp.max(votes),
+        num_associated=assoc_ok.sum(),
+        num_new_points=insert.sum(),
+        map_size=new_map.size,
+        scale=scale,
+        success=pose_ok,
+    )
+    new_state = TrackerState(
+        pose=new_pose,
+        prev=feats,
+        prev_map_id=map_id2,
+        map=new_map,
+        frame_idx=state.frame_idx + 1,
+        scale=scale,
+    )
+    return new_state, out
+
+
+def _constant_velocity():
+    """Fallback motion when tracking fails: identity (hold pose).
+    The reference crashes instead (SURVEY.md §5 failure handling)."""
+    return jnp.eye(4, dtype=jnp.float32)
