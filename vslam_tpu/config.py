@@ -181,7 +181,8 @@ def small_config() -> VSLAMConfig:
         matching=MatchingConfig(max_matches=256),
         ransac=RansacConfig(num_hypotheses=128),
         map=MapConfig(capacity=4096, block_size=512),
-        ba=BAConfig(window=4, max_points=512, max_obs_per_point=8,
-                    iterations=3),
-        pipeline=PipelineConfig(keyframe_every=2, max_keyframes=32),
+        ba=BAConfig(window=6, max_points=512, max_obs_per_point=8,
+                    iterations=8, huber_delta=2.5),
+        pipeline=PipelineConfig(keyframe_every=2, max_keyframes=32,
+                                local_ba_every=2),
     )

@@ -1,0 +1,197 @@
+"""Keyframe store + sliding-window BA problem construction (all jittable).
+
+The reference keeps every frame forever and has no keyframing, no windowing,
+and no optimizer (SURVEY.md §5 'long-context'); per-frame cost grows without
+bound. Here:
+
+  * ``KeyframeStore`` — fixed ring of keyframe slots; each keyframe records
+    its pose and the full per-keypoint (map-point-id, pixel) observation
+    block from the tracker. The ring is the functional replacement for the
+    reference's ever-growing ``pm.frames`` (reference include/PointMap.h:20).
+  * ``build_window_problem`` — selects the most recent W keyframes, compacts
+    the map points they observe into a dense local index (sort + first-
+    occurrence ranking — no host round trip), and lays out observations
+    point-major for the Schur solver (optimizer/ba.py).
+  * ``apply_window_result`` — writes optimized poses/landmarks back and
+    returns the correction transform of the newest keyframe so the tracker's
+    live pose can be re-anchored.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+from ..config import VSLAMConfig
+from ..core import lie
+from ..core.types import MapState
+from ..optimizer.ba import BAProblem
+
+
+@struct.dataclass
+class KeyframeStore:
+    poses: jnp.ndarray      # (R, 4, 4) T_wc
+    kf_frame: jnp.ndarray   # (R,) i32 — source video frame index, -1 empty
+    kf_order: jnp.ndarray   # (R,) i32 — monotone keyframe number, -1 empty
+    obs_pid: jnp.ndarray    # (R, N) i32 map point id per keypoint (-1 none)
+    obs_uv: jnp.ndarray     # (R, N, 2) f32
+    obs_mask: jnp.ndarray   # (R, N) bool
+    count: jnp.ndarray      # () i32 total keyframes ever inserted
+
+    @property
+    def ring_size(self) -> int:
+        return self.poses.shape[0]
+
+
+def empty_store(ring_size: int, n_kp: int) -> KeyframeStore:
+    return KeyframeStore(
+        poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (ring_size, 1, 1)),
+        kf_frame=jnp.full((ring_size,), -1, jnp.int32),
+        kf_order=jnp.full((ring_size,), -1, jnp.int32),
+        obs_pid=jnp.full((ring_size, n_kp), -1, jnp.int32),
+        obs_uv=jnp.zeros((ring_size, n_kp, 2), jnp.float32),
+        obs_mask=jnp.zeros((ring_size, n_kp), bool),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def insert_keyframe(store: KeyframeStore, pose, frame_idx, kp_uv, map_id, kp_mask):
+    """Record a tracked frame as a keyframe (ring slot = count % R)."""
+    slot = store.count % store.ring_size
+    ok = kp_mask & (map_id >= 0)
+    return store.replace(
+        poses=store.poses.at[slot].set(pose),
+        kf_frame=store.kf_frame.at[slot].set(frame_idx),
+        kf_order=store.kf_order.at[slot].set(store.count),
+        obs_pid=store.obs_pid.at[slot].set(jnp.where(ok, map_id, -1)),
+        obs_uv=store.obs_uv.at[slot].set(kp_uv),
+        obs_mask=store.obs_mask.at[slot].set(ok),
+        count=store.count + 1,
+    )
+
+
+class WindowProblem(NamedTuple):
+    problem: BAProblem
+    win_slots: jnp.ndarray   # (W,) ring slots, oldest -> newest
+    win_valid: jnp.ndarray   # (W,) bool
+    sel_pid: jnp.ndarray     # (P,) global map point id per local landmark (-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_window_problem(store: KeyframeStore, m: MapState,
+                         cfg: VSLAMConfig) -> WindowProblem:
+    W = cfg.ba.window
+    P = cfg.ba.max_points
+    Kslots = cfg.ba.max_obs_per_point
+    R = store.ring_size
+    N = store.obs_pid.shape[1]
+
+    # --- select most recent W keyframes, order oldest -> newest ----------
+    order = store.kf_order                               # (R,)
+    top_vals, top_idx = jax.lax.top_k(order, W)          # newest first
+    win_valid = top_vals >= 0
+    # reverse to oldest-first so gauge fixes the two oldest
+    win_slots = top_idx[::-1]
+    win_valid = win_valid[::-1]
+
+    T_wc = store.poses[win_slots]                        # (W, 4, 4)
+    T_cw = lie.inv_T(T_wc)
+    # gauge: the first two *valid* cams
+    vi = jnp.cumsum(win_valid.astype(jnp.int32))
+    cam_fixed = win_valid & (vi <= 2)
+
+    # --- flat observation list over the window ---------------------------
+    pid = store.obs_pid[win_slots].reshape(-1)           # (W*N,)
+    uv = store.obs_uv[win_slots].reshape(-1, 2)
+    msk = store.obs_mask[win_slots].reshape(-1) & jnp.repeat(win_valid, N)
+    msk = msk & (pid >= 0)
+    cam_of = jnp.repeat(jnp.arange(W, dtype=jnp.int32), N)
+
+    BIGID = jnp.int32(jnp.iinfo(jnp.int32).max)
+    pid_m = jnp.where(msk, pid, BIGID)
+
+    # --- unique map points -> dense local index --------------------------
+    sorted_pid = jnp.sort(pid_m)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_pid[1:] != sorted_pid[:-1]]
+    ) & (sorted_pid < BIGID)
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1       # (W*N,)
+    # lut: global pid -> local rank (only first max_points uniques kept)
+    keep = first & (rank < P)
+    lut_idx = jnp.where(keep, sorted_pid, m.capacity)
+    lut = jnp.full((m.capacity,), -1, jnp.int32).at[lut_idx].set(
+        jnp.where(keep, rank, -1), mode="drop"
+    )
+    sel_pid = jnp.full((P,), -1, jnp.int32).at[
+        jnp.where(keep, rank, P)
+    ].set(jnp.where(keep, sorted_pid, -1), mode="drop")
+
+    local = jnp.where(msk, lut[jnp.clip(pid, 0, m.capacity - 1)], -1)
+
+    # --- point-major obs table: rank within each local group -------------
+    local_m = jnp.where(local >= 0, local, BIGID)
+    perm = jnp.argsort(local_m)                          # stable
+    s_local = local_m[perm]
+    grp_start = jnp.concatenate(
+        [jnp.ones((1,), bool), s_local[1:] != s_local[:-1]]
+    )
+    pos = jnp.arange(s_local.shape[0], dtype=jnp.int32)
+    start_pos = jax.lax.cummax(jnp.where(grp_start, pos, 0))
+    within = pos - start_pos                             # (W*N,)
+    valid_o = (s_local < BIGID) & (within < Kslots)
+
+    row = jnp.where(valid_o, s_local, P)                 # P -> drop
+    col = jnp.where(valid_o, within, 0)
+    obs_cam = jnp.zeros((P, Kslots), jnp.int32).at[row, col].set(
+        cam_of[perm], mode="drop"
+    )
+    obs_uv = jnp.zeros((P, Kslots, 2), jnp.float32).at[row, col].set(
+        uv[perm], mode="drop"
+    )
+    obs_mask = jnp.zeros((P, Kslots), bool).at[row, col].set(
+        valid_o, mode="drop"
+    )
+
+    points = m.xyz[jnp.clip(sel_pid, 0, m.capacity - 1)]
+    point_mask = (sel_pid >= 0) & (obs_mask.sum(axis=1) >= 2)
+
+    problem = BAProblem(
+        T_cw=T_cw,
+        cam_fixed=cam_fixed | ~win_valid,
+        cam_mask=win_valid,
+        points=points,
+        point_mask=point_mask,
+        obs_cam=obs_cam,
+        obs_uv=obs_uv,
+        obs_mask=obs_mask,
+    )
+    return WindowProblem(problem=problem, win_slots=win_slots,
+                         win_valid=win_valid, sel_pid=sel_pid)
+
+
+@jax.jit
+def apply_window_result(store: KeyframeStore, m: MapState,
+                        wp: WindowProblem, solved: BAProblem):
+    """Write optimized poses/landmarks back. Returns
+    (store, map, T_correction) where T_correction re-anchors poses chained
+    off the newest keyframe: T_wc_corrected = T_corr @ T_wc_old_chain."""
+    T_wc_new = lie.inv_T(solved.T_cw)                    # (W, 4, 4)
+    slots = jnp.where(wp.win_valid, wp.win_slots, store.ring_size)
+    new_poses = store.poses.at[slots].set(T_wc_new, mode="drop")
+
+    # landmark write-back
+    pid = jnp.where(wp.sel_pid >= 0, wp.sel_pid, m.capacity)
+    pid = jnp.where(solved.point_mask, pid, m.capacity)
+    new_xyz = m.xyz.at[pid].set(solved.points, mode="drop")
+
+    # correction of the newest (last valid) window cam
+    last = jnp.argmax(jnp.where(wp.win_valid,
+                                jnp.arange(wp.win_valid.shape[0]), -1))
+    T_old = store.poses[wp.win_slots[last]]
+    T_new = T_wc_new[last]
+    T_corr = T_new @ lie.inv_T(T_old)
+    return store.replace(poses=new_poses), m.replace(xyz=new_xyz), T_corr

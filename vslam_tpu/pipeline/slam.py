@@ -1,0 +1,152 @@
+"""Full SLAM system: tracking + keyframing + sliding-window BA.
+
+Host-side orchestrator around the jitted kernels — the structured
+replacement for the reference's 300-line main() (reference src/vslam.cpp:12-300).
+The host loop only moves images in and scalars out; all numeric work is
+compiled. Visualization consumes immutable snapshots (``snapshot``) instead
+of the reference's mutex-shared raw pointers (src/vslam.cpp:264-276,
+the data race documented in SURVEY.md §3.4).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VSLAMConfig
+from ..optimizer import ba
+from ..utils.metrics import MetricsLogger
+from . import keyframes, tracker
+
+
+class SLAMSystem:
+    """Monocular SLAM over a frame stream."""
+
+    def __init__(self, cfg: VSLAMConfig, metrics_path: Optional[str] = None,
+                 seed: int = 0, enable_ba: bool = True):
+        self.cfg = cfg
+        self.metrics = MetricsLogger(metrics_path)
+        self.enable_ba = enable_ba
+        self._key = jax.random.PRNGKey(seed)
+        self.state: Optional[tracker.TrackerState] = None
+        self.kf_store = keyframes.empty_store(
+            ring_size=2 * cfg.ba.window, n_kp=cfg.frontend.max_keypoints
+        )
+        self.trajectory: List[np.ndarray] = []
+        self.frame_idx = 0
+        self._kf_count = 0
+        self._K = jnp.asarray(cfg.camera.K())
+        self.last_ba_stats = None
+
+    # ------------------------------------------------------------------
+    def process(self, img) -> Dict:
+        """Feed one grayscale frame (H, W) float32 in [0, 1]."""
+        t0 = time.perf_counter()
+        img = jnp.asarray(img, jnp.float32)
+        if self.state is None:
+            self.state = tracker.bootstrap(img, self.cfg)
+            self.trajectory.append(np.eye(4, dtype=np.float32))
+            info = {"kind": "frame", "frame": 0, "bootstrap": True,
+                    "wall_s": time.perf_counter() - t0}
+            self.metrics.log(**info)
+            self.frame_idx = 1
+            return info
+
+        self._key, sub = jax.random.split(self._key)
+        self.state, out = tracker.track_step(self.state, img, sub, self.cfg)
+        pose = np.asarray(out.pose)
+        self.trajectory.append(pose)
+
+        inlier_ratio = float(out.num_inliers) / max(float(out.num_matches), 1.0)
+        is_kf = (
+            self.frame_idx % self.cfg.pipeline.keyframe_every == 0
+            or inlier_ratio < self.cfg.pipeline.keyframe_min_inlier_ratio
+        )
+        ran_ba = False
+        if is_kf and bool(out.success):
+            self.kf_store = keyframes.insert_keyframe(
+                self.kf_store,
+                self.state.pose,
+                jnp.int32(self.frame_idx),
+                self.state.prev.uv,
+                self.state.prev_map_id,
+                self.state.prev.mask,
+            )
+            self._kf_count += 1
+            if (
+                self.enable_ba
+                and self._kf_count >= 3
+                and self._kf_count % self.cfg.pipeline.local_ba_every == 0
+            ):
+                ran_ba = True
+                self._run_window_ba()
+
+        info = {
+            "kind": "frame",
+            "frame": self.frame_idx,
+            "num_matches": int(out.num_matches),
+            "num_inliers": int(out.num_inliers),
+            "num_associated": int(out.num_associated),
+            "num_new_points": int(out.num_new_points),
+            "map_size": int(out.map_size),
+            "scale": float(out.scale),
+            "success": bool(out.success),
+            "keyframe": bool(is_kf),
+            "ran_ba": ran_ba,
+            "wall_s": time.perf_counter() - t0,
+        }
+        self.metrics.log(**info)
+        self.frame_idx += 1
+        return info
+
+    # ------------------------------------------------------------------
+    def _run_window_ba(self):
+        wp = keyframes.build_window_problem(
+            self.kf_store, self.state.map, self.cfg
+        )
+        solved, stats = ba.solve_robust(
+            wp.problem, self._K, self.cfg.ba, reject_px=5.0, rounds=2
+        )
+        self.kf_store, new_map, T_corr = keyframes.apply_window_result(
+            self.kf_store, self.state.map, wp, solved
+        )
+        self.last_ba_stats = stats
+        # re-anchor the live pose onto the optimized newest keyframe
+        self.state = self.state.replace(
+            map=new_map, pose=T_corr @ self.state.pose
+        )
+        self.metrics.log(
+            kind="ba",
+            frame=self.frame_idx,
+            initial_cost=float(stats.initial_cost),
+            final_cost=float(stats.final_cost),
+            accepted=int(np.asarray(stats.accepted).sum()),
+        )
+
+    # ------------------------------------------------------------------
+    def poses(self) -> np.ndarray:
+        """(F, 4, 4) per-frame T_wc trajectory (odometry output)."""
+        return np.stack(self.trajectory)
+
+    def keyframe_poses(self) -> np.ndarray:
+        """(Nkf, 4, 4) optimized keyframe poses, ordered by keyframe number."""
+        order = np.asarray(self.kf_store.kf_order)
+        sel = order >= 0
+        idx = np.argsort(order[sel])
+        return np.asarray(self.kf_store.poses)[sel][idx]
+
+    def snapshot(self) -> Dict[str, np.ndarray]:
+        """Immutable map/trajectory snapshot for visualization/export
+        (replaces the reference's mutex-guarded DisplayState handoff)."""
+        m = self.state.map
+        size = int(m.size)
+        alive = np.asarray(m.alive)[:size]
+        return {
+            "points": np.asarray(m.xyz)[:size][alive],
+            "colors": np.asarray(m.color)[:size][alive],
+            "poses": self.poses(),
+            "keyframe_poses": self.keyframe_poses(),
+        }
