@@ -1,0 +1,194 @@
+"""Real-data loaders: KITTI odometry, TUM RGB-D (mono), and raw video.
+
+The reference ingests one video via cv::VideoCapture (reference
+src/vslam.cpp:24) and crashes at end-of-stream (Frame.cpp:56 on an empty
+frame — SURVEY.md §5). These loaders yield fixed-size grayscale float32
+frames with clean termination, plus calibration, and ground-truth poses
+where the dataset provides them.
+
+All loaders are generators of (frame_index, image) and expose `.camera`
+(a CameraConfig) so the pipeline is calibration-correct per dataset.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..config import CameraConfig
+
+
+def _to_gray_f32(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:
+        img = img[..., :3].astype(np.float32) @ np.array(
+            [0.114, 0.587, 0.299], np.float32
+        )  # BGR weights (cv2 order)
+        return img / 255.0
+    img = img.astype(np.float32)
+    return img / 255.0 if img.max() > 1.5 else img
+
+
+def _resize_pad(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Scale to fit then zero-pad to exactly (height, width)."""
+    import cv2
+    h, w = img.shape[:2]
+    s = min(width / w, height / h)
+    nw, nh = int(round(w * s)), int(round(h * s))
+    r = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_AREA)
+    out = np.zeros((height, width), np.float32)
+    out[:nh, :nw] = r
+    return out
+
+
+class KittiOdometry:
+    """KITTI odometry grayscale sequence (image_0) + calib + GT poses."""
+
+    def __init__(self, root: str, sequence: str = "00",
+                 target: Optional[Tuple[int, int]] = None):
+        self.seq_dir = os.path.join(root, "sequences", sequence)
+        self.img_dir = os.path.join(self.seq_dir, "image_0")
+        if not os.path.isdir(self.img_dir):
+            raise FileNotFoundError(self.img_dir)
+        self.files = sorted(
+            f for f in os.listdir(self.img_dir) if f.endswith(".png")
+        )
+        P0 = self._load_calib()
+        self.target = target
+        fx, fy, cx, cy = P0[0, 0], P0[1, 1], P0[0, 2], P0[1, 2]
+        import cv2
+        first = cv2.imread(os.path.join(self.img_dir, self.files[0]),
+                           cv2.IMREAD_GRAYSCALE)
+        h, w = first.shape
+        if target is not None:
+            tw, th = target
+            s = min(tw / w, th / h)
+            fx, fy, cx, cy = fx * s, fy * s, cx * s, cy * s
+            w, h = tw, th
+        self.camera = CameraConfig(width=w, height=h, fx=float(fx),
+                                   fy=float(fy), cx=float(cx), cy=float(cy))
+        pose_file = os.path.join(root, "poses", sequence + ".txt")
+        self.gt_poses = None
+        if os.path.exists(pose_file):
+            from ..utils.trajectory import load_kitti
+            self.gt_poses = load_kitti(pose_file)
+
+    def _load_calib(self) -> np.ndarray:
+        calib = os.path.join(self.seq_dir, "calib.txt")
+        with open(calib) as f:
+            for line in f:
+                if line.startswith("P0:"):
+                    vals = np.array([float(v) for v in line.split()[1:]])
+                    return vals.reshape(3, 4)
+        raise ValueError(f"no P0 in {calib}")
+
+    def __len__(self):
+        return len(self.files)
+
+    def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
+        import cv2
+        for i, f in enumerate(self.files):
+            img = cv2.imread(os.path.join(self.img_dir, f),
+                             cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                return
+            g = _to_gray_f32(img)
+            if self.target is not None:
+                g = _resize_pad(g, *self.target)
+            yield i, g
+
+
+class TumRgbdMono:
+    """TUM RGB-D sequence, RGB stream only (monocular)."""
+
+    # fr1 default intrinsics
+    DEFAULT_INTRINSICS = (517.3, 516.5, 318.6, 255.3)
+
+    def __init__(self, root: str, target: Optional[Tuple[int, int]] = None,
+                 intrinsics: Optional[Tuple[float, float, float, float]] = None):
+        self.root = root
+        rgb_txt = os.path.join(root, "rgb.txt")
+        if not os.path.exists(rgb_txt):
+            raise FileNotFoundError(rgb_txt)
+        self.entries = []
+        with open(rgb_txt) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                ts, rel = line.split()[:2]
+                self.entries.append((float(ts), rel))
+        fx, fy, cx, cy = intrinsics or self.DEFAULT_INTRINSICS
+        w, h = 640, 480
+        self.target = target
+        if target is not None:
+            tw, th = target
+            s = min(tw / w, th / h)
+            fx, fy, cx, cy = fx * s, fy * s, cx * s, cy * s
+            w, h = tw, th
+        self.camera = CameraConfig(width=w, height=h, fx=fx, fy=fy,
+                                   cx=cx, cy=cy)
+        gt_file = os.path.join(root, "groundtruth.txt")
+        self.gt = None
+        if os.path.exists(gt_file):
+            from ..utils.trajectory import load_tum
+            self.gt = load_tum(gt_file)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __iter__(self):
+        import cv2
+        for i, (ts, rel) in enumerate(self.entries):
+            img = cv2.imread(os.path.join(self.root, rel))
+            if img is None:
+                return
+            g = _to_gray_f32(img)
+            if self.target is not None:
+                g = _resize_pad(g, *self.target)
+            yield i, g
+
+
+class VideoFile:
+    """Raw video via OpenCV — the reference's input path (src/vslam.cpp:24),
+    with the focal length supplied by config instead of env var F."""
+
+    def __init__(self, path: str, focal: float = 525.0,
+                 target: Optional[Tuple[int, int]] = None):
+        import cv2
+        self.path = path
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise FileNotFoundError(path)
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        fx = fy = focal
+        cx, cy = w / 2.0, h / 2.0  # reference K build (src/vslam.cpp:32-33)
+        self.target = target
+        if target is not None:
+            tw, th = target
+            s = min(tw / w, th / h)
+            fx, fy, cx, cy = fx * s, fy * s, cx * s, cy * s
+            w, h = tw, th
+        self.camera = CameraConfig(width=w, height=h, fx=fx, fy=fy,
+                                   cx=cx, cy=cy)
+
+    def __len__(self):
+        return max(self.n, 0)
+
+    def __iter__(self):
+        import cv2
+        cap = cv2.VideoCapture(self.path)
+        i = 0
+        while True:
+            ok, img = cap.read()
+            if not ok or img is None:   # clean end-of-stream
+                break
+            g = _to_gray_f32(img)
+            if self.target is not None:
+                g = _resize_pad(g, *self.target)
+            yield i, g
+            i += 1
+        cap.release()

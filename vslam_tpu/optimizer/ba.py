@@ -150,11 +150,15 @@ def _inv3x3(A):
     return adj / det[..., None, None]
 
 
-def compute_cost(problem: BAProblem, K_intr, huber_delta: float):
+def compute_cost(problem: BAProblem, K_intr, huber_delta: float,
+                 axis_name: str | None = None):
     T = problem.T_cw[jnp.clip(problem.obs_cam, 0, problem.num_cams - 1)]
     r, Xc = _project_residual(T, problem.points[:, None, :], problem.obs_uv, K_intr)
     mask = problem.obs_mask & problem.point_mask[:, None] & (Xc[..., 2] > 1e-3)
-    return _huber_cost(r, mask, huber_delta)
+    c = _huber_cost(r, mask, huber_delta)
+    if axis_name is not None:
+        c = jax.lax.psum(c, axis_name)
+    return c
 
 
 def _gn_quantities(T_cw, points, problem: BAProblem, K_intr, huber_delta):
@@ -172,11 +176,18 @@ def _gn_quantities(T_cw, points, problem: BAProblem, K_intr, huber_delta):
     return r, w, J_c, J_p, mask
 
 
-def _schur_reduce(r, w, J_c, J_p, problem: BAProblem, lam, block: int = 512):
+def _schur_reduce(r, w, J_c, J_p, problem: BAProblem, lam, block: int = 512,
+                  axis_name: str | None = None):
     """Build the reduced camera system.
 
+    When ``axis_name`` is set, the point axis is assumed sharded across that
+    mesh axis: the camera-side reductions (S blocks, b_c) are psum'd so every
+    device holds the full reduced system — the Schur-complement collective
+    pattern of SURVEY.md §5 (per-shard landmark elimination, camera-block
+    Hessian reduction over ICI).
+
     Returns S (6C, 6C), b (6C,), plus landmark back-sub data
-    (Hpp_inv (P,3,3), b_p (P,3)).
+    (Hpp_inv (P,3,3), b_p (P,3)) — local to the shard.
     """
     P, K = problem.obs_cam.shape
     C = problem.num_cams
@@ -233,6 +244,11 @@ def _schur_reduce(r, w, J_c, J_p, problem: BAProblem, lam, block: int = 512):
     S, _ = jax.lax.scan(body, S0, jnp.arange(n_blocks))
     S = S[:C, :C]                                               # (C, C, 6, 6)
 
+    if axis_name is not None:
+        # point axis is sharded: reduce the camera-side system over the mesh
+        S = jax.lax.psum(S, axis_name)
+        b_c = jax.lax.psum(b_c, axis_name)
+
     # LM damping on camera blocks (scaled by each block's trace)
     diag_blocks = S[jnp.arange(C), jnp.arange(C)]               # (C, 6, 6)
     tr = jnp.maximum(jnp.einsum("cii->c", diag_blocks), 1e-6)   # (C,)
@@ -263,14 +279,15 @@ def _backsub(dx_cam, Hpp_inv, b_p, W_blk, problem: BAProblem):
     return dX
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def solve(problem: BAProblem, K_intr, cfg: BAConfig):
-    """Run LM iterations. Returns (new_problem, BAStats)."""
+def _solve_impl(problem: BAProblem, K_intr, cfg: BAConfig,
+                axis_name: str | None = None):
+    """LM loop body. With ``axis_name``, runs SPMD over a sharded point axis
+    (call from inside shard_map; see parallel/sharded_ba.py)."""
     K_intr = jnp.asarray(K_intr, jnp.float32)
 
     def cost_of(T_cw, points):
         p = problem.replace(T_cw=T_cw, points=points)
-        return compute_cost(p, K_intr, cfg.huber_delta)
+        return compute_cost(p, K_intr, cfg.huber_delta, axis_name)
 
     init_cost = cost_of(problem.T_cw, problem.points)
 
@@ -279,7 +296,9 @@ def solve(problem: BAProblem, K_intr, cfg: BAConfig):
         r, w, J_c, J_p, mask = _gn_quantities(
             T_cw, points, problem, K_intr, cfg.huber_delta
         )
-        S, b, Hpp_inv, b_p, W_blk = _schur_reduce(r, w, J_c, J_p, problem, lam)
+        S, b, Hpp_inv, b_p, W_blk = _schur_reduce(
+            r, w, J_c, J_p, problem, lam, axis_name=axis_name
+        )
         # dense solve with jitter
         C6 = S.shape[0]
         jitter = 1e-6 * jnp.trace(S) / C6
@@ -315,6 +334,12 @@ def solve(problem: BAProblem, K_intr, cfg: BAConfig):
         initial_cost=init_cost, final_cost=cost_fin,
         accepted=accepts, costs=costs,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def solve(problem: BAProblem, K_intr, cfg: BAConfig):
+    """Run LM iterations (single device). Returns (new_problem, BAStats)."""
+    return _solve_impl(problem, K_intr, cfg)
 
 
 def observation_residuals(problem: BAProblem, K_intr):
