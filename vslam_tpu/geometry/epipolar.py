@@ -53,31 +53,42 @@ def _constraint_rows(uv1, uv2):
     )
 
 
-def fundamental_from_8pt(uv1, uv2):
+def fundamental_from_8pt(uv1, uv2, method: str = "jacobi"):
     """Least-squares fundamental matrix from >=8 correspondences.
 
-    The null vector of the (N,9) constraint matrix is found via an
-    eigendecomposition of the 9x9 normal matrix A^T A — symmetric eigh is the
-    TPU-friendly form of the reference's SVD-of-A (src/RansacFilter.cpp:94),
-    and batches cleanly under vmap. Rank-2 is enforced with a batched 3x3 SVD
-    (src/RansacFilter.cpp:98-101).
+    Two null-space backends:
+      * ``"jacobi"`` (default, the TPU hot path): eigendecomposition of the
+        9x9 normal matrix A^T A with the batched fixed-sweep Jacobi solver
+        (ops/jacobi.py) and closed-form rank-2 projection F(I - v3 v3ᵀ).
+        Branch-free, vmap-friendly — this is what runs inside RANSAC at
+        thousands of hypotheses per frame.
+      * ``"svd"``: LAPACK-grade SVD of A itself (error ∝ cond(A), not
+        cond(A)^2) + SVD rank-2 projection. Use when a single maximally
+        accurate estimate is needed.
+
+    (The reference solves SVD-of-A serially per hypothesis,
+    src/RansacFilter.cpp:94-101, and never normalizes points — TODO at :40.)
 
     Args:
       uv1, uv2: (N, 2) matched pixel coordinates (N static, typically 8).
     Returns:
       (3, 3) fundamental matrix with ||F|| = 1, rank 2, in pixel coordinates.
     """
+    from ..ops import jacobi
+
     n1, T1 = hartley_normalize(uv1, jnp.ones(uv1.shape[0], bool))
     n2, T2 = hartley_normalize(uv2, jnp.ones(uv2.shape[0], bool))
     A = _constraint_rows(n1, n2)  # (N, 9)
-    # Null vector via SVD of A itself: in f32 the error scales with cond(A),
-    # not cond(A)^2 as the eigh(A^T A) normal-equations route would.
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    f = Vt[-1]
-    F = f.reshape(3, 3)
-    # Rank-2 projection
-    U, D, Vt = jnp.linalg.svd(F)
-    F = (U * D.at[2].set(0.0)[None, :]) @ Vt
+    if method == "jacobi":
+        AtA = A.T @ A
+        f = jacobi.smallest_eigvec(AtA, sweeps=8)
+        F = f.reshape(3, 3)
+        F = jacobi.rank2_project(F, sweeps=8)
+    else:
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+        F = Vt[-1].reshape(3, 3)
+        U, D, Vt = jnp.linalg.svd(F)
+        F = (U * D.at[2].set(0.0)[None, :]) @ Vt
     # Denormalize: F_px = T2^T F T1
     F = T2.T @ F @ T1
     norm = jnp.linalg.norm(F) + 1e-12
@@ -108,9 +119,12 @@ def sampson_error(F, uv1, uv2):
 
 def essential_from_fundamental(F, K):
     """E = K^T F K (reference src/helpers.cpp:4), with (1,1,0) singular-value
-    projection so E is a valid essential matrix."""
+    projection so E is a valid essential matrix. 3x3 SVD via the batched
+    Jacobi backend (ops/jacobi.py) — no LAPACK lowering inside the jit."""
+    from ..ops import jacobi
+
     E = K.T @ F @ K
-    U, D, Vt = jnp.linalg.svd(E)
+    U, D, Vt = jacobi.svd3(E)
     s = (D[0] + D[1]) * 0.5
     E = (U * jnp.array([1.0, 1.0, 0.0], E.dtype)[None, :] * s) @ Vt
     return E
@@ -123,7 +137,9 @@ def decompose_essential(E):
       Rs: (4, 3, 3) rotations (det +1), ts: (4, 3) unit translations.
     Convention: x2 = R x1 + t maps camera-1 coordinates to camera-2.
     """
-    U, _, Vt = jnp.linalg.svd(E)
+    from ..ops import jacobi
+
+    U, _, Vt = jacobi.svd3(E)
     # Keep proper rotations
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))

@@ -176,13 +176,14 @@ def _weighted_eight_point(uv1, uv2, w):
     """Weighted least-squares F over all (masked) correspondences."""
     from . import epipolar
 
+    from ..ops import jacobi
+
     mask = w > 0
     n1, T1 = epipolar.hartley_normalize(uv1, mask)
     n2, T2 = epipolar.hartley_normalize(uv2, mask)
     A = epipolar._constraint_rows(n1, n2) * w[:, None]
-    _, _, Vt_A = jnp.linalg.svd(A, full_matrices=True)
-    F = Vt_A[-1].reshape(3, 3)
-    U, D, Vt = jnp.linalg.svd(F)
-    F = (U * D.at[2].set(0.0)[None, :]) @ Vt
+    AtA = A.T @ A
+    F = jacobi.smallest_eigvec(AtA, sweeps=10).reshape(3, 3)
+    F = jacobi.rank2_project(F, sweeps=8)
     F = T2.T @ F @ T1
     return F / (jnp.linalg.norm(F) + 1e-12)
