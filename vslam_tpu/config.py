@@ -59,6 +59,10 @@ class FrontendConfig:
     descriptor_bits: int = 256       # 256-bit binary descriptor = 8 x uint32
     blur_sigma: float = 2.0          # pre-descriptor smoothing
     border: int = 19                 # keypoints this close to border are culled
+    # oriented=True: ORB-style rotation-steered BRIEF via per-keypoint
+    # gathers (rotation-invariant, gather-heavy). False: dense upright BRIEF
+    # computed as shifted-image comparisons — gather-free, the TPU fast path.
+    oriented: bool = False
 
 
 @dataclass(frozen=True)

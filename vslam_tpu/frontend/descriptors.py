@@ -107,6 +107,48 @@ def unpack_bits(packed, nbits: int = 256):
     return bits.reshape(n, nbits).astype(jnp.int8)
 
 
+@functools.lru_cache(maxsize=None)
+def _int_pattern(bits: int, patch_radius: int):
+    """Integer-rounded BRIEF offsets for the dense (upright) path. Numpy."""
+    pat = brief_pattern(bits, patch_radius)
+    return np.round(pat).astype(np.int32)
+
+
+def describe_dense_upright(img_blurred, uv, cfg: FrontendConfig):
+    """Gather-free upright BRIEF — the TPU fast path.
+
+    Instead of sampling 2*256 offsets per keypoint (N x 512 bilinear gathers,
+    which XLA lowers to slow scalar loops on TPU), compute every pixel's
+    descriptor densely: each of the 256 pairs is one comparison between two
+    *shifted copies of the whole image* (pure VPU work), the bits are packed
+    into an (H, W, 8) uint32 bit-plane image, and the N keypoints just gather
+    their 8 words. Rotation invariance is dropped (fine for forward-motion
+    video; the oriented gather path remains available via cfg-driven
+    dispatch in frame.py).
+    """
+    H, W = img_blurred.shape
+    pat = _int_pattern(cfg.descriptor_bits, cfg.patch_radius)  # (B, 4) np
+    r = cfg.patch_radius
+    padded = jnp.pad(img_blurred, r, mode="edge")
+
+    def shifted(dx, dy):
+        # value at (y, x) = img[y + dy, x + dx]
+        return jax.lax.dynamic_slice(padded, (r + dy, r + dx), (H, W))
+
+    words = []
+    for w in range(cfg.descriptor_bits // 32):
+        acc = jnp.zeros((H, W), jnp.uint32)
+        for b in range(32):
+            x1, y1, x2, y2 = pat[w * 32 + b]
+            bit = (shifted(int(x1), int(y1)) < shifted(int(x2), int(y2)))
+            acc = acc | (bit.astype(jnp.uint32) << np.uint32(b))
+        words.append(acc)
+    planes = jnp.stack(words, axis=-1)            # (H, W, 8) uint32
+    xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    return planes[yi, xi]                          # (N, 8)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def describe(img_blurred, uv, angle, cfg: FrontendConfig):
     """Steered-BRIEF descriptors.

@@ -20,11 +20,21 @@ from . import descriptors, features
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
 def extract_features(img, cfg: FrontendConfig, height: int, width: int) -> FrameFeatures:
-    """img: (height, width) float32 grayscale in [0, 1]."""
+    """img: (height, width) float32 grayscale in [0, 1].
+
+    Descriptor path is config-selected: oriented steered-BRIEF (gathers,
+    rotation-invariant) or dense upright BRIEF (shifted-image bit planes,
+    the TPU fast path) — the two-strategy structure mirrors the reference's
+    pair of extractors (src/Frame.cpp:16-51 vs :53-80).
+    """
     uv, score, mask = features.detect(img, cfg, height, width)
     blurred = features.gaussian_blur(img, cfg.blur_sigma)
-    angle = descriptors.compute_orientations(blurred, uv, cfg.patch_radius)
-    desc = descriptors.describe(blurred, uv, angle, cfg)
+    if cfg.oriented:
+        angle = descriptors.compute_orientations(blurred, uv, cfg.patch_radius)
+        desc = descriptors.describe(blurred, uv, angle, cfg)
+    else:
+        angle = jnp.zeros_like(score)
+        desc = descriptors.describe_dense_upright(blurred, uv, cfg)
     # Zero descriptors of invalid slots so padded rows can't accidentally match.
     desc = jnp.where(mask[:, None], desc, 0)
     return FrameFeatures(uv=uv, desc=desc, score=score, mask=mask, angle=angle)
