@@ -1,0 +1,56 @@
+"""Data-parallel multi-sequence tracking on the 8-device virtual mesh:
+batched results must match independent single-sequence runs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vslam_tpu.config import small_config
+from vslam_tpu.datasets import synthetic
+from vslam_tpu.parallel import mesh as mesh_mod
+from vslam_tpu.parallel import multi_sequence
+from vslam_tpu.pipeline import tracker
+
+CFG = small_config()
+K = CFG.camera.K()
+W, H = CFG.camera.width, CFG.camera.height
+S = 4          # sequences
+F = 4          # frames each
+
+
+@pytest.fixture(scope="module")
+def sequences():
+    seqs = []
+    for s in range(S):
+        scene = synthetic.make_scene(num_points=500, seed=10 + s,
+                                     extent=(14, 6, 40), z_min=6.0)
+        poses = synthetic.make_trajectory(F, step=0.6, seed=10 + s)
+        seqs.append(synthetic.render_sequence(K, poses, scene, W, H))
+    return np.stack(seqs)  # (S, F, H, W)
+
+
+def test_batched_matches_individual(sequences):
+    mesh = mesh_mod.make_mesh("data", 4)
+    keys = jnp.stack([jax.random.PRNGKey(100 + s) for s in range(S)])
+
+    # batched run
+    state = multi_sequence.batched_bootstrap(
+        jnp.asarray(sequences[:, 0]), CFG, mesh, "data"
+    )
+    batched_poses = []
+    for f in range(1, F):
+        state, out = multi_sequence.batched_track_step(
+            state, jnp.asarray(sequences[:, f]), keys, CFG, mesh, "data"
+        )
+        batched_poses.append(np.asarray(out.pose))
+
+    # individual runs
+    for s in range(S):
+        st = tracker.bootstrap(jnp.asarray(sequences[s, 0]), CFG)
+        for f in range(1, F):
+            st, out = tracker.track_step(
+                st, jnp.asarray(sequences[s, f]), keys[s], CFG
+            )
+            np.testing.assert_allclose(
+                batched_poses[f - 1][s], np.asarray(out.pose), atol=2e-3
+            )
