@@ -48,8 +48,7 @@ def main():
     jax.block_until_ready(state)
 
     # warmup / compile
-    key = jax.random.PRNGKey(0)
-    state, out = tracker.track_step(state, frames[1], key, cfg)
+    state, out = tracker.track_step(state, frames[1], cfg)
     jax.block_until_ready(out)
     t_compile_done = time.perf_counter()
 
@@ -57,9 +56,8 @@ def main():
     n_timed = 20
     t0 = time.perf_counter()
     for i in range(n_timed):
-        key, sub = jax.random.split(key)
         state, out = tracker.track_step(
-            state, frames[2 + (i % (n_frames - 2))], sub, cfg
+            state, frames[2 + (i % (n_frames - 2))], cfg
         )
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0

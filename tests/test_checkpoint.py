@@ -33,8 +33,6 @@ def test_resume_matches_uninterrupted(tmp_path):
 
     resumed = slam.SLAMSystem(CFG, seed=7)
     checkpoint.load_state(ckpt, resumed)
-    # PRNG key chain: advance the fresh key the same number of splits
-    resumed._key = first._key
     for i in range(6, 12):
         resumed.process(frames[i])
 

@@ -27,9 +27,7 @@ def _track_sequence(num_frames=8, step=0.6, n_points=600, seed=0):
     outs = []
     est = [np.eye(4, dtype=np.float32)]
     for i in range(1, num_frames):
-        st, out = tracker.track_step(
-            st, jnp.asarray(frames[i]), jax.random.PRNGKey(i), CFG
-        )
+        st, out = tracker.track_step(st, jnp.asarray(frames[i]), CFG)
         outs.append(out)
         est.append(np.asarray(out.pose))
     return np.stack(est), poses, outs, st

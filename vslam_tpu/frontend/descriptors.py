@@ -41,6 +41,20 @@ def brief_pattern(bits: int = 256, patch_radius: int = 15):
     return pts.astype(np.float32)
 
 
+def _gather_nearest(img, y, x):
+    """Nearest-neighbor sample img (H,W) at float coords; clamps to borders.
+
+    The TPU fast path: one gather per sample instead of bilinear's four.
+    ORB itself rounds the steered pattern to integer offsets, so nearest
+    sampling matches the reference descriptor's semantics
+    (cv::ORB, reference src/Frame.cpp:57).
+    """
+    H, W = img.shape
+    yi = jnp.clip(jnp.round(y), 0, H - 1).astype(jnp.int32)
+    xi = jnp.clip(jnp.round(x), 0, W - 1).astype(jnp.int32)
+    return img.reshape(-1)[yi * W + xi]
+
+
 def _gather_bilinear(img, y, x):
     """Bilinear sample img (H,W) at float coords; clamps to borders.
     y, x: any broadcastable shape."""
@@ -85,7 +99,7 @@ def compute_orientations(img, uv, patch_radius: int):
     # (N, d, d) absolute sample coordinates
     y = uv[:, 1][:, None, None] + gy[None]
     x = uv[:, 0][:, None, None] + gx[None]
-    vals = _gather_bilinear(img, y, x) * circ[None]
+    vals = _gather_nearest(img, y, x) * circ[None]
     m01 = jnp.sum(vals * gy[None], axis=(1, 2))
     m10 = jnp.sum(vals * gx[None], axis=(1, 2))
     return jnp.arctan2(m01, m10)
@@ -174,8 +188,8 @@ def describe(img_blurred, uv, angle, cfg: FrontendConfig):
     ay1 = uv[:, 1:2] + y1
     ax2 = uv[:, 0:1] + x2
     ay2 = uv[:, 1:2] + y2
-    i1 = _gather_bilinear(img_blurred, ay1, ax1)  # (N, B)
-    i2 = _gather_bilinear(img_blurred, ay2, ax2)
+    i1 = _gather_nearest(img_blurred, ay1, ax1)  # (N, B)
+    i2 = _gather_nearest(img_blurred, ay2, ax2)
     bits = i1 < i2
     return pack_bits(bits)
 

@@ -24,41 +24,58 @@ import numpy as np
 from ..config import FrontendConfig
 
 
-def _conv2d(img, kernel):
-    """Single-channel 2D convolution, SAME padding. img (H,W), kernel (kh,kw)."""
-    return jax.lax.conv_general_dilated(
-        img[None, None, :, :],
-        kernel[None, None, :, :].astype(img.dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-    )[0, 0]
+def _shift(img, dy: int, dx: int):
+    """img shifted so out[y,x] = img[y+dy, x+dx], edge-padded. Static offsets."""
+    H, W = img.shape
+    r = max(abs(dy), abs(dx))
+    if r == 0:
+        return img
+    p = jnp.pad(img, r, mode="edge")
+    return jax.lax.dynamic_slice(p, (r + dy, r + dx), (H, W))
+
+
+def _sep_filter(img, k, radius: int, axis: int):
+    """1D correlation along axis via static shifts + multiply-adds.
+
+    Single-channel 2D convs lower to slow generic sliding windows on TPU
+    (no MXU path for 1-channel depthwise); unrolled shift-MACs are pure VPU
+    adds and fuse into one elementwise kernel.
+    """
+    out = jnp.zeros_like(img)
+    for i in range(2 * radius + 1):
+        o = i - radius
+        s = _shift(img, o, 0) if axis == 0 else _shift(img, 0, o)
+        out = out + float(k[i]) * s
+    return out
 
 
 def sobel_gradients(img):
-    """Ix, Iy via 3x3 Sobel."""
-    kx = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
-    ky = kx.T
-    return _conv2d(img, kx), _conv2d(img, ky)
+    """Ix, Iy via separable Sobel ([1,2,1] smooth ⊗ [-1,0,1] diff), shift-add."""
+    smooth = np.array([1.0, 2.0, 1.0]) / 4.0
+    diff = np.array([-1.0, 0.0, 1.0]) / 2.0
+    ix = _sep_filter(_sep_filter(img, smooth, 1, axis=0), diff, 1, axis=1)
+    iy = _sep_filter(_sep_filter(img, smooth, 1, axis=1), diff, 1, axis=0)
+    return ix, iy
 
 
 def _box_filter(img, radius: int):
-    k = jnp.ones((2 * radius + 1, 2 * radius + 1)) / float((2 * radius + 1) ** 2)
-    return _conv2d(img, k)
+    k = np.ones(2 * radius + 1) / float(2 * radius + 1)
+    return _sep_filter(_sep_filter(img, k, radius, axis=0), k, radius, axis=1)
 
 
 def gaussian_kernel_1d(sigma: float, radius: int):
     x = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-0.5 * (x / sigma) ** 2)
-    return jnp.asarray(k / k.sum())
+    return k / k.sum()
 
 
 def gaussian_blur(img, sigma: float, radius: int | None = None):
-    """Separable Gaussian blur."""
+    """Separable Gaussian blur (shift-add stencil)."""
     if radius is None:
         radius = max(1, int(3.0 * sigma + 0.5))
     k = gaussian_kernel_1d(sigma, radius)
-    img = _conv2d(img, k[None, :])
-    img = _conv2d(img, k[:, None])
+    img = _sep_filter(img, k, radius, axis=1)
+    img = _sep_filter(img, k, radius, axis=0)
     return img
 
 

@@ -112,6 +112,14 @@ def associate(
     kp_y = kp_uv[:, 1]
 
     def block(carry, start):
+        # Blocks past the insert cursor hold no live points: lax.cond skips
+        # their matmuls entirely, so a young map costs O(size), not
+        # O(capacity), per frame.
+        return jax.lax.cond(
+            start < m.size, _block_work, lambda c, s: (c, None), carry, start
+        )
+
+    def _block_work(carry, start):
         best_d, best_id = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, B, axis=0)
         xyz = sl(m.xyz)                               # (B, 3)

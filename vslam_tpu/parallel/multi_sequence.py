@@ -20,29 +20,32 @@ from ..config import VSLAMConfig
 from ..pipeline import tracker
 
 
-def batched_bootstrap(imgs, cfg: VSLAMConfig, mesh: Mesh, axis_name: str):
+def batched_bootstrap(imgs, cfg: VSLAMConfig, mesh: Mesh, axis_name: str,
+                      seeds=None):
     """imgs: (S, H, W) — one first-frame per sequence. Returns batched state
-    sharded over the mesh."""
+    sharded over the mesh; each sequence gets its own PRNG key."""
     shard = NamedSharding(mesh, P(axis_name))
     imgs = jax.device_put(imgs, shard)
     fn = jax.jit(jax.vmap(lambda im: tracker.bootstrap(im, cfg)))
-    return fn(imgs)
+    state = fn(imgs)
+    S = imgs.shape[0]
+    if seeds is None:
+        seeds = jnp.arange(S, dtype=jnp.uint32)
+    keys = jax.vmap(jax.random.PRNGKey)(seeds)
+    return state.replace(key=keys)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _batched_step(state, imgs, keys, cfg: VSLAMConfig):
-    return jax.vmap(lambda s, i, k: tracker.track_step(s, i, k, cfg))(
-        state, imgs, keys
-    )
+def _batched_step(state, imgs, cfg: VSLAMConfig):
+    return jax.vmap(lambda s, i: tracker.track_step(s, i, cfg))(state, imgs)
 
 
-def batched_track_step(state, imgs, keys, cfg: VSLAMConfig, mesh: Mesh,
+def batched_track_step(state, imgs, cfg: VSLAMConfig, mesh: Mesh,
                        axis_name: str):
     """One tracking step for S sequences at once.
 
-    state: batched TrackerState (leading axis S, sharded);
-    imgs: (S, H, W); keys: (S, 2) PRNG keys.
+    state: batched TrackerState (leading axis S, sharded); imgs: (S, H, W).
     """
     shard = NamedSharding(mesh, P(axis_name))
     imgs = jax.device_put(imgs, shard)
-    return _batched_step(state, imgs, keys, cfg)
+    return _batched_step(state, imgs, cfg)

@@ -30,7 +30,7 @@ class SLAMSystem:
         self.cfg = cfg
         self.metrics = MetricsLogger(metrics_path)
         self.enable_ba = enable_ba
-        self._key = jax.random.PRNGKey(seed)
+        self._seed = seed
         self.state: Optional[tracker.TrackerState] = None
         self.kf_store = keyframes.empty_store(
             ring_size=2 * cfg.ba.window, n_kp=cfg.frontend.max_keypoints
@@ -47,7 +47,7 @@ class SLAMSystem:
         t0 = time.perf_counter()
         img = jnp.asarray(img, jnp.float32)
         if self.state is None:
-            self.state = tracker.bootstrap(img, self.cfg)
+            self.state = tracker.bootstrap(img, self.cfg, seed=self._seed)
             self.trajectory.append(np.eye(4, dtype=np.float32))
             info = {"kind": "frame", "frame": 0, "bootstrap": True,
                     "wall_s": time.perf_counter() - t0}
@@ -55,8 +55,9 @@ class SLAMSystem:
             self.frame_idx = 1
             return info
 
-        self._key, sub = jax.random.split(self._key)
-        self.state, out = tracker.track_step(self.state, img, sub, self.cfg)
+        self.state, out = tracker.track_step(self.state, img, self.cfg)
+        # one bulk device->host transfer for all scalars + the pose
+        out = jax.device_get(out)
         pose = np.asarray(out.pose)
         self.trajectory.append(pose)
 

@@ -44,6 +44,8 @@ class TrackerState:
     map: MapState
     frame_idx: jnp.ndarray     # () i32
     scale: jnp.ndarray         # () f32 — running translation scale estimate
+    key: jnp.ndarray           # PRNG key; per-frame keys fold in frame_idx
+                               # inside the jit (no host-side split dispatch)
 
 
 class TrackOutput(NamedTuple):
@@ -58,7 +60,7 @@ class TrackOutput(NamedTuple):
     success: jnp.ndarray
 
 
-def init_state(cfg: VSLAMConfig) -> TrackerState:
+def init_state(cfg: VSLAMConfig, seed: int = 0) -> TrackerState:
     n = cfg.frontend.max_keypoints
     return TrackerState(
         pose=jnp.eye(4, dtype=jnp.float32),
@@ -67,6 +69,7 @@ def init_state(cfg: VSLAMConfig) -> TrackerState:
         map=empty_map(cfg.map.capacity, cfg.map.obs_per_point),
         frame_idx=jnp.zeros((), jnp.int32),
         scale=jnp.ones((), jnp.float32),
+        key=jax.random.PRNGKey(seed),
     )
 
 
@@ -80,21 +83,26 @@ def _masked_median(x, mask, fallback):
     return jnp.where(n > 0, med, fallback)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def bootstrap(img, cfg: VSLAMConfig) -> TrackerState:
+@functools.partial(jax.jit, static_argnames=("cfg", "seed"))
+def bootstrap(img, cfg: VSLAMConfig, seed: int = 0) -> TrackerState:
     """Initialize from the first frame (reference src/vslam.cpp:67-69)."""
     H, W = cfg.camera.height, cfg.camera.width
     feats = extract_features(img, cfg.frontend, H, W)
-    st = init_state(cfg)
+    st = init_state(cfg, seed)
     return st.replace(prev=feats, frame_idx=jnp.ones((), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def track_step(state: TrackerState, img, key, cfg: VSLAMConfig):
-    """Track one new frame. Returns (new_state, TrackOutput)."""
+def track_step(state: TrackerState, img, cfg: VSLAMConfig):
+    """Track one new frame. Returns (new_state, TrackOutput).
+
+    The RANSAC key derives from state.key + frame index inside the jit —
+    the host dispatches exactly one program per frame.
+    """
     H, W = cfg.camera.height, cfg.camera.width
     K = jnp.asarray(cfg.camera.K())
     N = cfg.frontend.max_keypoints
+    key = jax.random.fold_in(state.key, state.frame_idx)
 
     # 1. features ---------------------------------------------------------
     feats = extract_features(img, cfg.frontend, H, W)
@@ -214,6 +222,7 @@ def track_step(state: TrackerState, img, key, cfg: VSLAMConfig):
         map=new_map,
         frame_idx=state.frame_idx + 1,
         scale=scale,
+        key=state.key,
     )
     return new_state, out
 
