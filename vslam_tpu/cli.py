@@ -87,11 +87,25 @@ def cmd_run(args):
 
     sys_ = SLAMSystem(cfg, metrics_path=os.path.join(args.out, "metrics.jsonl"),
                       enable_ba=not args.no_ba, seed=args.seed)
+    if args.save_frames:
+        os.makedirs(os.path.join(args.out, "frames"), exist_ok=True)
     limit = args.frames if args.frames else n_total
     for i, img in source:
         if i >= limit:
             break
         info = sys_.process(img)
+        if args.save_frames and sys_.last_output is not None:
+            from .viz.frames import annotate_frame
+            o = sys_.last_output
+            annotate_frame(
+                np.asarray(img),
+                kp_uv=np.asarray(o.kp_uv), kp_mask=np.asarray(o.kp_mask),
+                match_uv1=np.asarray(o.uv1), match_uv2=np.asarray(o.uv2),
+                match_mask=np.asarray(o.match_mask),
+                path=os.path.join(args.out, "frames", f"{i:06d}.png"),
+            )
+        if args.snapshot_every and i > 0 and i % args.snapshot_every == 0:
+            render.save_html(sys_.snapshot(), os.path.join(args.out, "map.html"))
         if args.verbose and "num_matches" in info:
             print(f"frame {info['frame']:4d}: matches={info['num_matches']:4d} "
                   f"inliers={info['num_inliers']:4d} map={info['map_size']:6d} "
@@ -154,6 +168,11 @@ def main(argv=None):
     r.add_argument("--no-ba", action="store_true")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--verbose", "-v", action="store_true")
+    r.add_argument("--save-frames", action="store_true",
+                   help="write annotated PNG per frame (keypoints + match "
+                   "lines; the reference's live window, offline)")
+    r.add_argument("--snapshot-every", type=int, default=0,
+                   help="rewrite out/map.html every N frames (live-ish view)")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("eval", help="ATE/RPE between TUM trajectories")

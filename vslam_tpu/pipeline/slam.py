@@ -40,6 +40,7 @@ class SLAMSystem:
         self._kf_count = 0
         self._K = jnp.asarray(cfg.camera.K())
         self.last_ba_stats = None
+        self.last_output = None
 
     # ------------------------------------------------------------------
     def process(self, img) -> Dict:
@@ -58,6 +59,7 @@ class SLAMSystem:
         self.state, out = tracker.track_step(self.state, img, self.cfg)
         # one bulk device->host transfer for all scalars + the pose
         out = jax.device_get(out)
+        self.last_output = out
         pose = np.asarray(out.pose)
         self.trajectory.append(pose)
 

@@ -58,6 +58,13 @@ class TrackOutput(NamedTuple):
     map_size: jnp.ndarray
     scale: jnp.ndarray
     success: jnp.ndarray
+    # per-match data for frame annotation (reference draws keypoints, match
+    # lines and reprojected circles on the live window, src/vslam.cpp:90-230)
+    uv1: jnp.ndarray           # (N, 2) prev-frame keypoint of each match row
+    uv2: jnp.ndarray           # (N, 2) current-frame keypoint
+    match_mask: jnp.ndarray    # (N,) RANSAC-inlier match rows
+    kp_uv: jnp.ndarray         # (N, 2) current-frame keypoints
+    kp_mask: jnp.ndarray       # (N,)
 
 
 def init_state(cfg: VSLAMConfig, seed: int = 0) -> TrackerState:
@@ -214,6 +221,11 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
         map_size=new_map.size,
         scale=scale,
         success=pose_ok,
+        uv1=uv1,
+        uv2=uv2,
+        match_mask=rres.inliers,
+        kp_uv=feats.uv,
+        kp_mask=feats.mask,
     )
     new_state = TrackerState(
         pose=new_pose,
