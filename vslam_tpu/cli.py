@@ -112,6 +112,11 @@ def cmd_run(args):
                   f"{'KF' if info.get('keyframe') else '  '}"
                   f"{' BA' if info.get('ran_ba') else ''}")
 
+    if args.global_ba and sys_._kf_count >= 3:
+        stats = sys_.run_global_ba()
+        print(f"global BA: cost {float(stats.initial_cost):.1f} -> "
+              f"{float(stats.final_cost):.1f}")
+
     poses = sys_.poses()
     trajectory.save_tum(os.path.join(args.out, "trajectory_tum.txt"), poses)
     trajectory.save_kitti(os.path.join(args.out, "trajectory_kitti.txt"), poses)
@@ -166,6 +171,8 @@ def main(argv=None):
     r.add_argument("--config", help="JSON config file")
     r.add_argument("--small", action="store_true", help="small/fast config")
     r.add_argument("--no-ba", action="store_true")
+    r.add_argument("--global-ba", action="store_true",
+                   help="run global BA over all keyframes at end of sequence")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--verbose", "-v", action="store_true")
     r.add_argument("--save-frames", action="store_true",

@@ -81,11 +81,17 @@ class WindowProblem(NamedTuple):
     sel_pid: jnp.ndarray     # (P,) global map point id per local landmark (-1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "window", "max_points"))
 def build_window_problem(store: KeyframeStore, m: MapState,
-                         cfg: VSLAMConfig) -> WindowProblem:
-    W = cfg.ba.window
-    P = cfg.ba.max_points
+                         cfg: VSLAMConfig, window: int | None = None,
+                         max_points: int | None = None) -> WindowProblem:
+    """Build a BA problem over the most recent `window` keyframes.
+
+    window=None uses cfg.ba.window (local/sliding BA); passing the ring size
+    makes this *global* BA over every retained keyframe (BASELINE config 5's
+    global-BA mode; the sharded solver takes the same problem)."""
+    W = min(window or cfg.ba.window, store.ring_size)
+    P = max_points or cfg.ba.max_points
     Kslots = cfg.ba.max_obs_per_point
     R = store.ring_size
     N = store.obs_pid.shape[1]
