@@ -86,10 +86,29 @@ class KittiOdometry:
         return len(self.files)
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
+        # Preferred path: the native threaded prefetcher (C++ PNG decode
+        # overlapping the device compute of the previous frame); falls back
+        # to synchronous cv2 when the native lib is unavailable.
+        paths = [os.path.join(self.img_dir, f) for f in self.files]
+        try:
+            from ..utils.native import ImagePrefetcher
+            import cv2
+            first = cv2.imread(paths[0], cv2.IMREAD_GRAYSCALE)
+            h, w = first.shape
+            pf = ImagePrefetcher(paths, w, h, workers=3, lookahead=8)
+            try:
+                for i, g in pf:
+                    if self.target is not None:
+                        g = _resize_pad(g, *self.target)
+                    yield i, g
+            finally:
+                pf.close()
+            return
+        except Exception:
+            pass
         import cv2
-        for i, f in enumerate(self.files):
-            img = cv2.imread(os.path.join(self.img_dir, f),
-                             cv2.IMREAD_GRAYSCALE)
+        for i, p in enumerate(paths):
+            img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
             if img is None:
                 return
             g = _to_gray_f32(img)
