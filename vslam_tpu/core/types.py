@@ -63,6 +63,7 @@ class MapState:
     desc: jnp.ndarray        # (C, K, 8) uint32 observation descriptor archive
     desc_count: jnp.ndarray  # (C,) i32 observations recorded (may exceed K)
     alive: jnp.ndarray       # (C,) bool
+    last_seen: jnp.ndarray   # (C,) i32 frame index of latest observation
     size: jnp.ndarray        # () i32 insert cursor
 
     @property
@@ -77,6 +78,7 @@ def empty_map(capacity: int, obs_slots: int) -> MapState:
         desc=jnp.zeros((capacity, obs_slots, 8), jnp.uint32),
         desc_count=jnp.zeros((capacity,), jnp.int32),
         alive=jnp.zeros((capacity,), bool),
+        last_seen=jnp.zeros((capacity,), jnp.int32),
         size=jnp.zeros((), jnp.int32),
     )
 

@@ -34,7 +34,7 @@ from ..core.types import MapState
 from ..frontend.descriptors import unpack_bits
 
 
-def insert_points(m: MapState, xyz, color, desc, valid) -> MapState:
+def insert_points(m: MapState, xyz, color, desc, valid, frame_idx=0) -> MapState:
     """Append masked rows at the insert cursor.
 
     Args:
@@ -52,12 +52,14 @@ def insert_points(m: MapState, xyz, color, desc, valid) -> MapState:
         desc=m.desc.at[pos, 0].set(desc, mode="drop"),
         desc_count=m.desc_count.at[pos].set(1, mode="drop"),
         alive=m.alive.at[pos].set(True, mode="drop"),
+        last_seen=m.last_seen.at[pos].set(
+            jnp.asarray(frame_idx, jnp.int32), mode="drop"),
         size=jnp.minimum(m.size + valid.sum().astype(jnp.int32), C),
     )
     return m2
 
 
-def add_observations(m: MapState, point_ids, desc, valid) -> MapState:
+def add_observations(m: MapState, point_ids, desc, valid, frame_idx=0) -> MapState:
     """Record a new observation descriptor for existing map points.
 
     point_ids: (N,) i32 (-1 or invalid rows dropped); desc: (N, 8) uint32.
@@ -72,7 +74,30 @@ def add_observations(m: MapState, point_ids, desc, valid) -> MapState:
     return m.replace(
         desc=m.desc.at[pid, slot].set(desc, mode="drop"),
         desc_count=m.desc_count.at[pid].add(ok.astype(jnp.int32), mode="drop"),
+        last_seen=m.last_seen.at[pid].set(
+            jnp.asarray(frame_idx, jnp.int32), mode="drop"),
     )
+
+
+def cull_stale(m: MapState, current_frame, min_obs: int = 2,
+               max_age: int = 30) -> MapState:
+    """Retire landmarks that were created but never corroborated.
+
+    A point with fewer than ``min_obs`` recorded observations that has not
+    been seen for ``max_age`` frames is marked dead: it stops participating
+    in association and is dropped from snapshots. (The reference's map only
+    ever grows and every spurious triangulation stays forever —
+    SURVEY.md §5 'long-context'.) Slots are not reclaimed (cursor
+    monotonicity keeps ids stable for the observation graph).
+    """
+    in_cursor = jnp.arange(m.capacity) < m.size
+    stale = (
+        in_cursor
+        & m.alive
+        & (m.desc_count < min_obs)
+        & (current_frame - m.last_seen > max_age)
+    )
+    return m.replace(alive=m.alive & ~stale)
 
 
 class AssociationResult(NamedTuple):

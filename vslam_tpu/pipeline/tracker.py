@@ -168,7 +168,7 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
     map_id2 = map_id2.at[tgt].set(prop_src, mode="drop")
     # propagated points get a fresh observation descriptor recorded
     new_map = point_map.add_observations(
-        state.map, map_id2, feats.desc, map_id2 >= 0
+        state.map, map_id2, feats.desc, map_id2 >= 0, state.frame_idx
     )
 
     # 7. search-by-projection association (reference src/vslam.cpp:129-161)
@@ -180,7 +180,8 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
     )
     assoc_ok = (assoc.point_id >= 0) & pose_ok
     map_id2 = jnp.where(assoc_ok, assoc.point_id, map_id2)
-    new_map = point_map.add_observations(new_map, assoc.point_id, feats.desc, assoc_ok)
+    new_map = point_map.add_observations(new_map, assoc.point_id, feats.desc,
+                                         assoc_ok, state.frame_idx)
 
     # 8. triangulate new world points (reference src/vslam.cpp:186-251) ----
     P1 = cam.projection_matrix(K, state.pose)
@@ -202,7 +203,11 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
     gray = img[yi, xi]
     color = jnp.stack([gray, gray, gray], axis=1)
     desc2 = feats.desc[mres.idx2]
-    new_map = point_map.insert_points(new_map, X_w, color, desc2, insert)
+    new_map = point_map.insert_points(new_map, X_w, color, desc2, insert,
+                                      state.frame_idx)
+    # retire uncorroborated stale landmarks (map hygiene; the reference's
+    # map only ever grows)
+    new_map = point_map.cull_stale(new_map, state.frame_idx)
 
     # newly inserted points: give the target keypoints their map ids
     offs = jnp.cumsum(insert.astype(jnp.int32)) - 1
