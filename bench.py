@@ -63,13 +63,18 @@ def main():
         idx = jnp.arange(n_timed)
         return jax.lax.scan(body, state, idx)
 
-    # compile + warmup (also populates nothing: timed run restarts cleanly)
-    st, (inl, ok) = run_n(state, stacked)
+    # compile + warmup on a DIFFERENT sequence: the transport layer caches
+    # results of bit-identical executions, so the timed run must see fresh
+    # inputs (measured: identical-input replays return in ~1 ms).
+    poses_w = synthetic.make_trajectory(n_frames, step=1.0, seed=5)
+    warm_np = synthetic.render_sequence(K, poses_w, scene, W, H)
+    warm = jnp.asarray(np.stack(warm_np[1:]))
+    st, (inl, ok) = run_n(tracker.bootstrap(jnp.asarray(warm_np[0]), cfg), warm)
     jax.block_until_ready(inl)
 
     t0 = time.perf_counter()
     st, (inl, ok) = run_n(state, stacked)
-    jax.block_until_ready(inl)
+    jax.block_until_ready((st, inl))
     dt = time.perf_counter() - t0
     fps = n_timed / dt
 
