@@ -110,16 +110,21 @@ class TestRansac:
         assert precision > 0.9, precision
         assert recall > 0.7, recall
 
-    def test_sampling_no_duplicates(self):
+    def test_sampling_valid_only_and_mostly_distinct(self):
         mask = jnp.ones(100, bool).at[50:].set(False)
         idx = np.asarray(
             ransac.sample_minimal_sets(
-                jax.random.PRNGKey(1), mask.astype(jnp.float32), 64, 8
+                jax.random.PRNGKey(1), mask.astype(jnp.float32), 256, 8
             )
         )
+        # never samples masked-out indices
         assert (idx < 50).all()
-        for row in idx:
-            assert len(set(row.tolist())) == 8
+        # duplicates within a set are allowed but must be rare
+        # (p ≈ S²/2n = 64/100 per set here, far lower at real n≈thousands)
+        dup_rows = sum(len(set(r.tolist())) < 8 for r in idx)
+        assert dup_rows < 0.5 * len(idx), dup_rows
+        # coverage: all valid indices get sampled somewhere
+        assert len(set(idx.reshape(-1).tolist())) == 50
 
 
 class TestRecoverPose:

@@ -105,16 +105,22 @@ def corner_response(img, score: str = "shi_tomasi", harris_k: float = 0.04,
 def nms(response, radius: int):
     """Non-max suppression: keep pixels equal to their window max
     (the functional equivalent of goodFeaturesToTrack's min-distance,
-    reference src/Frame.cpp:61)."""
-    win = 2 * radius + 1
-    pooled = jax.lax.reduce_window(
-        response,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(win, win),
-        window_strides=(1, 1),
-        padding="SAME",
-    )
+    reference src/Frame.cpp:61).
+
+    Square-window max is separable: shift-max along rows then columns —
+    pure VPU element-wise maxes instead of a generic reduce_window lowering.
+    """
+    pooled = response
+    for axis in (0, 1):
+        acc = pooled
+        for o in range(1, radius + 1):
+            if axis == 0:
+                acc = jnp.maximum(acc, _shift(pooled, o, 0))
+                acc = jnp.maximum(acc, _shift(pooled, -o, 0))
+            else:
+                acc = jnp.maximum(acc, _shift(pooled, 0, o))
+                acc = jnp.maximum(acc, _shift(pooled, 0, -o))
+        pooled = acc
     return response >= pooled
 
 

@@ -40,23 +40,31 @@ class RansacResult(NamedTuple):
 
 
 def sample_minimal_sets(key, weights, num_hypotheses: int, sample_size: int):
-    """Draw (H, S) index sets without replacement within each set.
+    """Draw (H, S) index sets over the valid entries.
 
-    Gumbel top-k: per hypothesis, perturb log-weights with Gumbel noise and
-    take the top S — a fully vectorized equivalent of the reference's
-    swap-and-pop Fisher-Yates sampler (src/RansacFilter.cpp:19-32).
+    Vectorized equivalent of the reference's swap-and-pop Fisher-Yates
+    sampler (src/RansacFilter.cpp:19-32), TPU-shaped: the valid indices are
+    compacted once (one N-element sort), then each hypothesis draws S
+    uniform positions into the compacted list. Within-set duplicates are
+    possible but rare (p ≈ S²/2n); a duplicated row only degrades that one
+    hypothesis's fit, which the inlier vote discards — far cheaper than the
+    per-hypothesis Gumbel top-k (an (H, N) sort) that exact
+    without-replacement sampling would cost.
 
     Args:
       key: PRNG key.
       weights: (N,) nonnegative sampling weights (0 excludes an index).
     Returns:
-      (H, S) int32 indices.
+      (H, S) int32 indices (entries with weight 0 are never selected,
+      provided at least one weight is positive).
     """
     n = weights.shape[0]
-    logw = jnp.where(weights > 0, jnp.log(jnp.maximum(weights, 1e-30)), -jnp.inf)
-    g = jax.random.gumbel(key, (num_hypotheses, n))
-    _, idx = jax.lax.top_k(logw[None, :] + g, sample_size)
-    return idx.astype(jnp.int32)
+    valid = weights > 0
+    n_valid = jnp.maximum(valid.sum().astype(jnp.int32), 1)
+    # compact: valid indices first (stable argsort of the invalid flag)
+    order = jnp.argsort(jnp.where(valid, 0, 1), stable=True).astype(jnp.int32)
+    pos = jax.random.randint(key, (num_hypotheses, sample_size), 0, n_valid)
+    return order[pos]
 
 
 def ransac(

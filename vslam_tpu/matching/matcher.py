@@ -42,11 +42,15 @@ def match(desc1, mask1, desc2, mask2, cfg: MatchingConfig,
     # Invalidate padded rows/cols.
     D = jnp.where(mask1[:, None] & mask2[None, :], D, _BIG)
 
-    # top-2 smallest per row (Lowe ratio test, reference src/Frame.cpp:91)
-    neg2, idx2 = jax.lax.top_k(-D, 2)  # (N1, 2)
-    d_best = -neg2[:, 0]
-    d_second = -neg2[:, 1]
-    best_j = idx2[:, 0]
+    # top-2 smallest per row (Lowe ratio test, reference src/Frame.cpp:91).
+    # Two min/argmin reduction passes instead of lax.top_k: top_k lowers to
+    # a full per-row sort on TPU (~N log N over N1*N2 elements); min-reduce
+    # is a single linear pass each.
+    d_best = jnp.min(D, axis=1)
+    best_j = jnp.argmin(D, axis=1).astype(jnp.int32)
+    cols = jnp.arange(D.shape[1], dtype=jnp.int32)[None, :]
+    D2 = jnp.where(cols == best_j[:, None], _BIG, D)
+    d_second = jnp.min(D2, axis=1)
     ratio_ok = d_best.astype(jnp.float32) < cfg.lowe_ratio * d_second.astype(
         jnp.float32
     )
