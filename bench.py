@@ -37,15 +37,21 @@ def main():
 
     import sys
 
+    # Per-invocation seed: the device transport caches bit-identical
+    # executions ACROSS processes, so a fixed seed would let a second bench
+    # run replay the first run's results in ~1 ms. Fresh inputs every run.
+    run_seed = int(time.time()) % 100000
+    print(f"run_seed={run_seed}", file=__import__("sys").stderr)
+
     n_timed = 40
     n_frames = n_timed + 2
-    scene = synthetic.make_scene(num_points=12000, seed=0,
+    scene = synthetic.make_scene(num_points=12000, seed=run_seed,
                                  extent=(80, 15, 160), z_min=5.0)
-    poses = synthetic.make_trajectory(n_frames, step=1.0, seed=0)
+    poses = synthetic.make_trajectory(n_frames, step=1.0, seed=run_seed)
     frames_np = synthetic.render_sequence(K, poses, scene, W, H)
 
     state = tracker.bootstrap(jnp.asarray(frames_np[0]), cfg)
-    jax.block_until_ready(state)
+    np.asarray(state.pose)  # fetch = the only true barrier on this transport
 
     # Device-side loop: lax.scan over pre-loaded sequential frames so the
     # measurement is pure per-chip compute — host dispatch/transfer latency
@@ -53,7 +59,7 @@ def main():
     # Sequential frames => the map grows and association runs over it, the
     # real steady-state workload.
     stacked = jnp.asarray(np.stack(frames_np[1:]))     # (n_timed+1, H, W)
-    jax.block_until_ready(stacked)
+    np.asarray(stacked[0, 0, :4])  # force the upload to complete
 
     @jax.jit
     def run_n(state, stacked):
@@ -66,20 +72,23 @@ def main():
     # compile + warmup on a DIFFERENT sequence: the transport layer caches
     # results of bit-identical executions, so the timed run must see fresh
     # inputs (measured: identical-input replays return in ~1 ms).
-    poses_w = synthetic.make_trajectory(n_frames, step=1.0, seed=5)
+    poses_w = synthetic.make_trajectory(n_frames, step=1.0, seed=run_seed + 1)
     warm_np = synthetic.render_sequence(K, poses_w, scene, W, H)
     warm = jnp.asarray(np.stack(warm_np[1:]))
     st, (inl, ok) = run_n(tracker.bootstrap(jnp.asarray(warm_np[0]), cfg), warm)
-    jax.block_until_ready(inl)
+    np.asarray(inl)  # drain compile + warm compute
 
+    # NOTE on barriers: on this transport jax.block_until_ready returns
+    # BEFORE the device finishes (measured: 1 ms "wait" on a 10 s compute).
+    # Fetching output bytes is the only true completion barrier, so the
+    # timed region ends at np.asarray of a tiny per-frame output.
     t0 = time.perf_counter()
     st, (inl, ok) = run_n(state, stacked)
-    jax.block_until_ready((st, inl))
+    inl = np.asarray(inl)  # (n_timed,) int32 — fetch waits for the compute
     dt = time.perf_counter() - t0
     fps = n_timed / dt
 
     # sanity: tracking genuinely worked across the sequence
-    inl = np.asarray(inl)
     ok = np.asarray(ok)
     print(
         f"sanity: success={int(ok.sum())}/{n_timed} median_inliers="
