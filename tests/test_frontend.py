@@ -107,3 +107,37 @@ class TestMatching:
         np.testing.assert_array_equal(np.asarray(res.idx2), np.arange(32))
         assert bool(res.mask.all())
         assert (np.asarray(res.distance) == 0).all()
+
+
+class TestOrientation:
+    def test_dense_map_matches_gather_oracle(self):
+        """Dense (square-window) orientation tracks the gather-based
+        intensity-centroid oracle at strong-gradient pixels."""
+        from vslam_tpu.frontend import descriptors
+        rng = np.random.RandomState(3)
+        img = jnp.asarray(np.cumsum(np.cumsum(
+            rng.randn(H, W).astype(np.float32), 0), 1) / 50.0)
+        uv = jnp.asarray(
+            np.stack([rng.uniform(30, W - 30, 64),
+                      rng.uniform(30, H - 30, 64)], 1).astype(np.float32))
+        ref = np.asarray(descriptors.compute_orientations(img, uv, 15))
+        got = np.asarray(descriptors.orientations_at(img, uv, 15))
+        d = np.abs(np.angle(np.exp(1j * (got - ref))))
+        # square vs circular window: allow a modest angular tolerance
+        assert np.median(d) < np.deg2rad(15.0), np.rad2deg(np.median(d))
+
+    def test_dense_map_90deg_equivariance(self):
+        """Rotating the image by 90 deg rotates the dense orientation map by
+        90 deg exactly (square window is symmetric under k*90)."""
+        from vslam_tpu.frontend import descriptors
+        rng = np.random.RandomState(4)
+        img = np.cumsum(np.cumsum(rng.randn(128, 128).astype(np.float32), 0), 1)
+        a0 = np.asarray(descriptors.orientation_map(jnp.asarray(img), 15))
+        # rot90(img): (y, x) <- img[x, H-1-y]  (numpy k=1: counter-clockwise)
+        a1 = np.asarray(descriptors.orientation_map(
+            jnp.asarray(np.rot90(img).copy()), 15))
+        # orientation at rotated location should be a0 - 90deg (mod 2pi)
+        inner = slice(20, 108)
+        pred = np.rot90(a0)[inner, inner] - np.pi / 2
+        d = np.abs(np.angle(np.exp(1j * (a1[inner, inner] - pred))))
+        assert np.percentile(d, 90) < 1e-3, np.percentile(d, 90)

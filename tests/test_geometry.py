@@ -172,3 +172,60 @@ class TestTriangulation:
         # corrupted rows rejected, clean visible rows mostly kept
         assert ok[::2][vis[::2]].mean() < 0.1
         assert ok[1::2][vis[1::2]].mean() > 0.8
+
+
+class TestRansacPose:
+    def test_recovers_motion_with_outliers(self):
+        K, T1, T2, uv1, uv2, vis, xyz, is_out = _two_view_setup(
+            seed=5, noise=0.3, outlier_frac=0.2)
+        res = ransac.ransac_pose(
+            jax.random.PRNGKey(1), jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.asarray(vis), jnp.asarray(K))
+        assert bool(res.success)
+        T_21 = np.linalg.inv(T2) @ T1
+        R_gt, t_gt = T_21[:3, :3], T_21[:3, 3] / np.linalg.norm(T_21[:3, 3])
+        R = np.asarray(res.R)
+        rot_err = np.degrees(np.arccos(np.clip((np.trace(R @ R_gt.T) - 1) / 2, -1, 1)))
+        t_err = np.degrees(np.arccos(np.clip(float(np.asarray(res.t) @ t_gt), -1, 1)))
+        assert rot_err < 0.5, rot_err
+        assert t_err < 5.0, t_err
+        # outliers largely excluded from the physical consensus
+        inl = np.asarray(res.inliers)
+        assert inl[is_out].mean() < 0.1
+        assert inl[vis & ~is_out].mean() > 0.7
+
+    def test_forward_motion_not_fooled_by_false_inlier(self):
+        """Near-forward motion: count-only F-RANSAC can pick a physically
+        wrong model covering one extra false match; cheirality-aware scoring
+        must not (regression for the 59-deg translation failure)."""
+        K = np.array([[200.0, 0, 128.0], [0, 200.0, 96.0], [0, 0, 1.0]],
+                     np.float32)
+        scene = synthetic.make_scene(num_points=400, seed=2,
+                                     extent=(14, 6, 40), z_min=6.0)
+        T1 = np.eye(4, dtype=np.float32)
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, 3] = [0.02, 0.015, 0.6]  # nearly pure forward
+        uv1, uv2, vis, _ = synthetic.correspondences(
+            K, T1, T2, scene.xyz, 256, 192, noise_px=0.4, seed=2)
+        # a few gross false matches
+        rng = np.random.RandomState(0)
+        bad = rng.choice(len(uv1), 6, replace=False)
+        uv2 = uv2.copy()
+        uv2[bad] = rng.uniform([0, 0], [256, 192], (6, 2)).astype(np.float32)
+        t_gt = T2[:3, 3].copy()
+        t_gt = -(T2[:3, :3].T @ t_gt)  # cam2<-cam1 translation
+        t_gt /= np.linalg.norm(t_gt)
+        errs = []
+        for seed in range(6):
+            res = ransac.ransac_pose(
+                jax.random.PRNGKey(seed), jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(vis), jnp.asarray(K))
+            errs.append(np.degrees(np.arccos(np.clip(
+                float(np.asarray(res.t) @ t_gt), -1, 1))))
+        # Context: count-only selection gave ~59 deg; the oracle LINEAR fit
+        # on the true inliers gives ~40 deg at this noise (t direction is
+        # weakly observable near-forward); GN refinement's ML optimum is
+        # ~1.4 deg. Require clearly-better-than-linear on every seed and
+        # near-ML typical behavior.
+        assert np.median(errs) < 10.0, errs
+        assert max(errs) < 35.0, errs

@@ -59,13 +59,15 @@ class FrontendConfig:
     descriptor_bits: int = 256       # 256-bit binary descriptor = 8 x uint32
     blur_sigma: float = 2.0          # pre-descriptor smoothing
     border: int = 19                 # keypoints this close to border are culled
-    # oriented=True (default): ORB-style rotation-steered BRIEF via
-    # per-keypoint gathers — rotation-invariant, and measured FASTER on TPU
-    # v5e than the dense alternative (21.3 vs 18.6 fps end-to-end at
-    # 1248x384). False: dense upright BRIEF as shifted-image bit planes —
-    # gather-free; wins at smaller resolutions or when XLA gather lowering
-    # regresses.
-    oriented: bool = True
+    # oriented=False (default): dense upright BRIEF as shifted-image bit
+    # planes — gather-free, measured 2.3 ms/frame at 1248x384/3072 kp on one
+    # TPU chip (device-time barrier, not dispatch). True: ORB-style
+    # rotation-steered BRIEF — rotation-invariant but requires N x 512
+    # random gathers, which XLA lowers to scalar loops: ~13 ms/frame for the
+    # steering (plus ~1 ms dense orientation). Use for rotation-heavy
+    # sequences (handheld video); forward-motion odometry (KITTI/TUM) does
+    # not need it.
+    oriented: bool = False
 
 
 @dataclass(frozen=True)

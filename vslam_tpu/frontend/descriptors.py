@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FrontendConfig
-from .features import gaussian_blur
+from .features import _sep_filter, gaussian_blur
 
 _PATTERN_SEED = 42
 
@@ -94,7 +94,11 @@ def _centroid_grids(radius: int):
 
 def compute_orientations(img, uv, patch_radius: int):
     """ORB intensity-centroid orientation: theta = atan2(m01, m10) over a
-    circular patch. uv: (N, 2). Returns (N,) radians."""
+    circular patch. uv: (N, 2). Returns (N,) radians.
+
+    Gather formulation (N x (2r+1)^2 random samples) — kept as the oracle;
+    the pipeline uses ``orientation_map`` + one small gather, which is ~20x
+    faster on TPU (random gathers lower to scalar loops)."""
     gy, gx, circ = _centroid_grids(patch_radius)
     # (N, d, d) absolute sample coordinates
     y = uv[:, 1][:, None, None] + gy[None]
@@ -103,6 +107,34 @@ def compute_orientations(img, uv, patch_radius: int):
     m01 = jnp.sum(vals * gy[None], axis=(1, 2))
     m10 = jnp.sum(vals * gx[None], axis=(1, 2))
     return jnp.arctan2(m01, m10)
+
+
+def orientation_map(img, patch_radius: int):
+    """Dense intensity-centroid orientation, one angle per pixel.
+
+    TPU formulation: over a SQUARE (2r+1)^2 patch the centroid moments are
+    separable correlations — m10 = box_y(ramp_x(I)), m01 = box_x(ramp_y(I)) —
+    four 1D shift-MAC passes over the image (pure VPU, fuses) instead of
+    N x (2r+1)^2 random gathers. The square window (vs ORB's circular disc)
+    costs a few degrees of rotation equivariance at 45 deg; it is exactly
+    equivariant at multiples of 90 deg. Descriptor matching only needs
+    frame-to-frame consistency, which a fixed window provides.
+    """
+    r = patch_radius
+    ramp = np.arange(-r, r + 1, dtype=np.float32)
+    box = np.ones(2 * r + 1, dtype=np.float32)
+    m10 = _sep_filter(_sep_filter(img, ramp, r, axis=1), box, r, axis=0)
+    m01 = _sep_filter(_sep_filter(img, ramp, r, axis=0), box, r, axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+def orientations_at(img, uv, patch_radius: int):
+    """Per-keypoint orientation via the dense map + one (N,) gather."""
+    H, W = img.shape
+    amap = orientation_map(img, patch_radius)
+    xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    return amap[yi, xi]
 
 
 def pack_bits(bits):

@@ -30,7 +30,7 @@ def extract_features(img, cfg: FrontendConfig, height: int, width: int) -> Frame
     uv, score, mask = features.detect(img, cfg, height, width)
     blurred = features.gaussian_blur(img, cfg.blur_sigma)
     if cfg.oriented:
-        angle = descriptors.compute_orientations(blurred, uv, cfg.patch_radius)
+        angle = descriptors.orientations_at(blurred, uv, cfg.patch_radius)
         desc = descriptors.describe(blurred, uv, angle, cfg)
     else:
         angle = jnp.zeros_like(score)

@@ -181,6 +181,77 @@ def triangulate_midpoint_depths(K, R, t, uv1, uv2):
     return z1, z2
 
 
+def _t_basis(t):
+    """(3, 2) orthonormal basis of the plane orthogonal to unit t, branch-free
+    (Householder of t against the axis it is least aligned with)."""
+    ax = jnp.argmin(jnp.abs(t))
+    e = jnp.zeros(3, t.dtype).at[ax].set(1.0)
+    b1 = jnp.cross(t, e)
+    b1 = b1 / (jnp.linalg.norm(b1) + 1e-12)
+    b2 = jnp.cross(t, b1)
+    return jnp.stack([b1, b2], axis=1)
+
+
+def refine_pose_gn(R, t, K, uv1, uv2, w, iters: int = 8, damping: float = 1e-6):
+    """Gauss-Newton polish of (R, t) on the essential manifold SO(3) x S^2,
+    minimizing weighted squared Sampson error.
+
+    Why: the linear 8-point fit is statistically inefficient for
+    near-forward motion — measured 40 deg translation-direction error on an
+    oracle inlier set at 0.4 px noise where the maximum-likelihood estimate
+    is ~1 deg. Five unknowns (3 rotation tangent + 2 translation-direction
+    tangent), re-linearized each iteration; the (N,5) Jacobian comes from
+    jacfwd over the 5 tangent params, so the whole solve is branch-free and
+    jit/vmap-friendly (the reference has no counterpart — its extract_Rt
+    heuristic stops at the linear estimate, src/helpers.cpp:3-35).
+
+    Args:
+      R, t: initial rotation / unit translation (x2 = R x1 + t convention).
+      w: (N,) nonnegative weights (0 = ignore).
+    Returns:
+      (R, t) refined.
+    """
+    from ..core import lie
+
+    K_inv = jnp.linalg.inv(K)
+    ones = jnp.ones_like(uv1[..., :1])
+    x1 = jnp.einsum("ij,nj->ni", K_inv, jnp.concatenate([uv1, ones], -1))
+    x2 = jnp.einsum("ij,nj->ni", K_inv, jnp.concatenate([uv2, ones], -1))
+
+    def sampson_res(params, R0, t0):
+        dw, dt = params[:3], params[3:]
+        Rn = R0 @ lie.so3_exp(dw)
+        tn = t0 + _t_basis(t0) @ dt
+        tn = tn / (jnp.linalg.norm(tn) + 1e-12)
+        E = lie.hat(tn) @ Rn
+        Ex1 = jnp.einsum("ij,nj->ni", E, x1)
+        Etx2 = jnp.einsum("ji,nj->ni", E, x2)
+        num = jnp.einsum("ni,ni->n", x2, Ex1)
+        den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+        return num / jnp.sqrt(jnp.maximum(den, 1e-18))
+
+    def step(carry, _):
+        R0, t0 = carry
+        z = jnp.zeros(5, R0.dtype)
+        r = sampson_res(z, R0, t0)
+        J = jax.jacfwd(sampson_res)(z, R0, t0)          # (N, 5)
+        Jw = J * w[:, None]
+        H = Jw.T @ J + damping * jnp.eye(5, dtype=R0.dtype)
+        g = Jw.T @ r
+        delta = -jnp.linalg.solve(H, g)
+        # accept only if the weighted cost decreases (cheap trust region)
+        r_new = sampson_res(delta, R0, t0)
+        better = jnp.sum(w * r_new ** 2) < jnp.sum(w * r ** 2)
+        delta = jnp.where(better, delta, jnp.zeros_like(delta))
+        R1 = R0 @ lie.so3_exp(delta[:3])
+        t1 = t0 + _t_basis(t0) @ delta[3:]
+        t1 = t1 / (jnp.linalg.norm(t1) + 1e-12)
+        return (R1, t1), None
+
+    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    return R, t
+
+
 def recover_pose(E, K, uv1, uv2, mask):
     """Select the (R, t) candidate with the most points in front of both
     cameras — the proper 4-way cheirality check the reference skipped

@@ -122,16 +122,15 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
     uv2 = feats.uv[mres.idx2]                 # (N, 2) aligned by match
     m_valid = mres.mask
 
-    # 3. robust F -> E -> (R, t) ------------------------------------------
-    rres = ransac.ransac_fundamental(
-        key, uv1, uv2, m_valid,
+    # 3. robust F -> E -> (R, t), cheirality-aware selection ---------------
+    rres = ransac.ransac_pose(
+        key, uv1, uv2, m_valid, K,
         num_hypotheses=cfg.ransac.num_hypotheses,
         inlier_threshold=cfg.ransac.inlier_threshold,
         min_inliers=cfg.ransac.min_inliers,
     )
-    E = epipolar.essential_from_fundamental(rres.model, K)
-    R, t_unit, votes = epipolar.recover_pose(E, K, uv1, uv2, rres.inliers)
-    pose_ok = rres.success & (jnp.max(votes) >= cfg.ransac.min_inliers)
+    R, t_unit, votes = rres.R, rres.t, rres.votes
+    pose_ok = rres.success
 
     # 4. monocular scale from re-observed map points ----------------------
     # Triangulate inlier matches in the *previous camera frame* at unit
