@@ -53,7 +53,7 @@ def _constraint_rows(uv1, uv2):
     )
 
 
-def fundamental_from_8pt(uv1, uv2, method: str = "jacobi"):
+def fundamental_from_8pt(uv1, uv2, method: str = "jacobi", sweeps: int = 8):
     """Least-squares fundamental matrix from >=8 correspondences.
 
     Two null-space backends:
@@ -81,9 +81,9 @@ def fundamental_from_8pt(uv1, uv2, method: str = "jacobi"):
     A = _constraint_rows(n1, n2)  # (N, 9)
     if method == "jacobi":
         AtA = A.T @ A
-        f = jacobi.smallest_eigvec(AtA, sweeps=8)
+        f = jacobi.smallest_eigvec(AtA, sweeps=sweeps)
         F = f.reshape(3, 3)
-        F = jacobi.rank2_project(F, sweeps=8)
+        F = jacobi.rank2_project(F, sweeps=sweeps)
     else:
         _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
         F = Vt[-1].reshape(3, 3)

@@ -200,6 +200,8 @@ def ransac_pose(
     inlier_threshold: float = 2.0,
     min_inliers: int = 15,
     refine: bool = True,
+    fit_sweeps: int = 4,
+    vote_stride: int = 6,
 ) -> PoseRansacResult:
     """Relative-pose RANSAC with cheirality-aware model selection.
 
@@ -223,20 +225,29 @@ def ransac_pose(
     idx = sample_minimal_sets(
         key, valid_mask.astype(jnp.float32), num_hypotheses, 8
     )  # (H, 8)
-    Fs = jax.vmap(epipolar.fundamental_from_8pt)(uv1[idx], uv2[idx])  # (H,3,3)
+    # Low-sweep Jacobi for the hypothesis fits: a hypothesis only needs to
+    # rank well; the winner is re-fit at full accuracy in the LO step.
+    fit = lambda s1, s2: epipolar.fundamental_from_8pt(s1, s2,
+                                                       sweeps=fit_sweeps)
+    Fs = jax.vmap(fit)(uv1[idx], uv2[idx])                  # (H,3,3)
 
     resid = epipolar.sampson_error(Fs, uv1, uv2)            # (H, N)
     resid = jnp.where(valid_mask[None, :], resid, jnp.inf)
     samp_inl = resid <= inlier_threshold
 
     # 4-way decomposition + in-front votes for every hypothesis at once.
+    # Voting uses a strided subsample of the matches: the (H, 4, N) depth
+    # check dominates HBM traffic at full N, and a few hundred votes rank
+    # candidates just as well. Full-N inliers are computed for the winner
+    # only (below).
     Es = jnp.einsum("ji,hjk,kl->hil", K, Fs, K)             # K^T F K, (H,3,3)
     Rs, ts = jax.vmap(epipolar.decompose_essential)(Es)     # (H,4,3,3),(H,4,3)
-    z1, z2 = epipolar.triangulate_midpoint_depths(K, Rs, ts, uv1, uv2)
-    good = samp_inl[:, None, :] & (z1 > 0) & (z2 > 0)       # (H,4,N) fused
-    votes = good.sum(axis=2)                                # (H, 4)
-    counts = votes.max(axis=1)                              # (H,)
-    cand = votes.argmax(axis=1)                             # (H,)
+    uv1s, uv2s = uv1[::vote_stride], uv2[::vote_stride]
+    z1, z2 = epipolar.triangulate_midpoint_depths(K, Rs, ts, uv1s, uv2s)
+    good = samp_inl[:, None, ::vote_stride] & (z1 > 0) & (z2 > 0)
+    votes_s = good.sum(axis=2)                              # (H, 4) sampled
+    counts = votes_s.max(axis=1)                            # (H,)
+    cand = votes_s.argmax(axis=1)                           # (H,)
 
     # MSAC truncated loss for tie-breaking among equal counts.
     trunc = jnp.minimum(resid, inlier_threshold)
@@ -248,8 +259,12 @@ def ransac_pose(
     F = Fs[best]
     R = Rs[best, cand[best]]
     t = ts[best, cand[best]]
-    best_votes = votes[best]
-    inl = good[best, cand[best]] & valid_mask
+    # Winner only: full-N cheirality-consistent inlier set + full votes.
+    z1f, z2f = epipolar.triangulate_midpoint_depths(
+        K, Rs[best], ts[best], uv1, uv2)                    # (4, N)
+    good_f = samp_inl[best][None, :] & (z1f > 0) & (z2f > 0)
+    best_votes = good_f.sum(axis=1)                         # (4,)
+    inl = good_f[cand[best]] & valid_mask
     num = inl.sum().astype(jnp.int32)
 
     if refine:
