@@ -192,9 +192,10 @@ def _t_basis(t):
     return jnp.stack([b1, b2], axis=1)
 
 
-def refine_pose_gn(R, t, K, uv1, uv2, w, iters: int = 8, damping: float = 1e-6):
-    """Gauss-Newton polish of (R, t) on the essential manifold SO(3) x S^2,
-    minimizing weighted squared Sampson error.
+def refine_pose_gn(R, t, K, uv1, uv2, w, iters: int = 16,
+                   huber_px: float = 1.0):
+    """Robust IRLS Levenberg-Marquardt polish of (R, t) on the essential
+    manifold SO(3) x S^2, minimizing Huber-robustified squared Sampson error.
 
     Why: the linear 8-point fit is statistically inefficient for
     near-forward motion — measured 40 deg translation-direction error on an
@@ -205,9 +206,22 @@ def refine_pose_gn(R, t, K, uv1, uv2, w, iters: int = 8, damping: float = 1e-6):
     jit/vmap-friendly (the reference has no counterpart — its extract_Rt
     heuristic stops at the linear estimate, src/helpers.cpp:3-35).
 
+    Robustness design (both matter in practice):
+      * IRLS weights are RE-DERIVED from the current residuals each
+        iteration (Huber influence, normalized-coordinate residuals scaled
+        to ~pixels by the focal length) rather than frozen from the caller's
+        inlier mask — a frozen mask computed from a wrong starting model
+        both excludes true inliers and keeps false ones, which biases the
+        optimum by several degrees.
+      * Adaptive LM damping (accept → lambda/4, reject → lambda*8) instead
+        of a fixed epsilon: plain GN with step rejection stalls from starts
+        tens of degrees away; LM converges from them.
+
     Args:
       R, t: initial rotation / unit translation (x2 = R x1 + t convention).
-      w: (N,) nonnegative weights (0 = ignore).
+      w: (N,) nonnegative prior weights (0 = ignore the match entirely);
+         multiplied into the per-iteration robust weights.
+      huber_px: Huber threshold in pixels on the Sampson residual.
     Returns:
       (R, t) refined.
     """
@@ -217,6 +231,11 @@ def refine_pose_gn(R, t, K, uv1, uv2, w, iters: int = 8, damping: float = 1e-6):
     ones = jnp.ones_like(uv1[..., :1])
     x1 = jnp.einsum("ij,nj->ni", K_inv, jnp.concatenate([uv1, ones], -1))
     x2 = jnp.einsum("ij,nj->ni", K_inv, jnp.concatenate([uv2, ones], -1))
+    # Sampson residuals below live in normalized coords; scale the Huber
+    # threshold to that unit (1 px ≈ 1/f in normalized coords).
+    f = 0.5 * (K[0, 0] + K[1, 1])
+    delta_h = huber_px / f
+    valid = (w > 0).astype(uv1.dtype)
 
     def sampson_res(params, R0, t0):
         dw, dt = params[:3], params[3:]
@@ -230,26 +249,86 @@ def refine_pose_gn(R, t, K, uv1, uv2, w, iters: int = 8, damping: float = 1e-6):
         den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
         return num / jnp.sqrt(jnp.maximum(den, 1e-18))
 
-    def step(carry, _):
-        R0, t0 = carry
+    def robust_w(r, c):
+        # Cauchy influence weight: redescending, so gross outliers exert
+        # ~zero pull. Huber is NOT enough here — its linear tail lets a
+        # handful of gross false matches outweigh hundreds of inliers'
+        # quadratic terms and shift the optimum by tens of degrees
+        # (measured: Huber's global minimum sat 36 deg off ground truth on
+        # a 300-inlier/6-outlier forward-motion pair; Cauchy's sits ~1 deg).
+        return valid / (1.0 + (r / c) ** 2)
+
+    def cost(r, c):
+        # Cauchy rho, so accept/reject decisions match the IRLS objective.
+        return jnp.sum(valid * 0.5 * c ** 2 * jnp.log1p((r / c) ** 2))
+
+    def step(carry, c):
+        R0, t0, lam = carry
         z = jnp.zeros(5, R0.dtype)
         r = sampson_res(z, R0, t0)
+        rw = robust_w(r, c)
         J = jax.jacfwd(sampson_res)(z, R0, t0)          # (N, 5)
-        Jw = J * w[:, None]
-        H = Jw.T @ J + damping * jnp.eye(5, dtype=R0.dtype)
+        Jw = J * rw[:, None]
+        H = Jw.T @ J
         g = Jw.T @ r
-        delta = -jnp.linalg.solve(H, g)
-        # accept only if the weighted cost decreases (cheap trust region)
+        Hd = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-12)) \
+            + 1e-10 * jnp.eye(5, dtype=R0.dtype)
+        delta = -jnp.linalg.solve(Hd, g)
         r_new = sampson_res(delta, R0, t0)
-        better = jnp.sum(w * r_new ** 2) < jnp.sum(w * r ** 2)
+        better = cost(r_new, c) < cost(r, c)
         delta = jnp.where(better, delta, jnp.zeros_like(delta))
+        lam = jnp.where(better, lam * 0.25, lam * 8.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
         R1 = R0 @ lie.so3_exp(delta[:3])
         t1 = t0 + _t_basis(t0) @ delta[3:]
         t1 = t1 / (jnp.linalg.norm(t1) + 1e-12)
-        return (R1, t1), None
+        return (R1, t1, lam), None
 
-    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
-    return R, t
+    # NOTE: no scale annealing (GNC) here — a coarse Cauchy scale
+    # reintroduces the outlier-biased landscape and anneals INTO its wrong
+    # basin (measured 36 deg). Basin coverage is the caller's job via
+    # multi-start (refine_pose_gn_multistart); each start polishes at the
+    # fine, unbiased scale.
+    sched = jnp.full((iters,), delta_h, R.dtype)
+    lam0 = jnp.asarray(1e-3, R.dtype)
+    (R, t, lam), _ = jax.lax.scan(step, (R, t, lam0), sched)
+    r_fin = sampson_res(jnp.zeros(5, R.dtype), R, t)
+    return R, t, cost(r_fin, jnp.asarray(delta_h, R.dtype))
+
+
+def refine_pose_gn_multistart(R, t, K, uv1, uv2, w, iters: int = 16,
+                              huber_px: float = 1.0,
+                              spread_deg=(30.0, 60.0)):
+    """Multi-start robust pose polish: run refine_pose_gn from the given
+    (R, t) plus a fan of translation-direction perturbations on t's tangent
+    plane, and keep the result with the lowest final robust cost.
+
+    Why multi-start: the fine-scale Cauchy-Sampson landscape is nonconvex
+    with local minima tens of degrees apart in translation direction for
+    near-forward motion, and a RANSAC winner can start in the wrong basin
+    (measured: single-start LM stuck at 26-45 deg; the correct basin's
+    minimum sits at ~1.5 deg and has strictly lower robust cost). The
+    rotation is well-observed — only t-direction needs basin coverage — so
+    1 + 4*len(spread_deg) starts suffice. All starts run as one vmap; the
+    selection is a single argmin, branch-free under jit.
+    """
+    B = _t_basis(t)  # (3, 2)
+    angs = jnp.deg2rad(jnp.asarray(spread_deg, t.dtype))
+    ca, sa = jnp.cos(angs), jnp.sin(angs)
+    dirs = []
+    for sx, sy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        d = B[:, 0] * sx + B[:, 1] * sy
+        dirs.append(ca[:, None] * t[None, :] + sa[:, None] * d[None, :])
+    t0s = jnp.concatenate([t[None, :]] + dirs, axis=0)     # (S, 3)
+    t0s = t0s / (jnp.linalg.norm(t0s, axis=1, keepdims=True) + 1e-12)
+    S = t0s.shape[0]
+    R0s = jnp.broadcast_to(R, (S, 3, 3))
+
+    run = lambda R0, t0: refine_pose_gn(R0, t0, K, uv1, uv2, w,
+                                        iters=iters, huber_px=huber_px)
+    Rs, ts, costs = jax.vmap(run)(R0s, t0s)
+    best = jnp.argmin(costs)
+    return Rs[best], ts[best]
 
 
 def recover_pose(E, K, uv1, uv2, mask):

@@ -286,11 +286,14 @@ def ransac_pose(
         best_votes = jnp.where(better, v2, best_votes)
         num = jnp.where(better, num2, num)
 
-        # LO step 2: Gauss-Newton on the essential manifold (the linear
-        # 8-point estimate is far from the ML optimum for near-forward
-        # motion; see epipolar.refine_pose_gn).
-        R, t = epipolar.refine_pose_gn(R, t, K, uv1, uv2,
-                                       inl.astype(uv1.dtype))
+        # LO step 2: robust multi-start IRLS-LM on the essential manifold
+        # (the linear 8-point estimate is far from the ML optimum for
+        # near-forward motion; see epipolar.refine_pose_gn*). Pass the full
+        # valid mask, not the frozen consensus: the refiner re-derives
+        # robust weights per iteration, so true inliers the (possibly
+        # wrong) winner missed are reclaimed and false ones down-weighted.
+        R, t = epipolar.refine_pose_gn_multistart(
+            R, t, K, uv1, uv2, valid_mask.astype(uv1.dtype))
         from ..core import lie
         E3 = lie.hat(t) @ R
         K_inv = jnp.linalg.inv(K)
