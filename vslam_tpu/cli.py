@@ -23,16 +23,16 @@ import numpy as np
 
 
 def _build_cfg(args, camera=None):
+    """Precedence (lowest to highest): defaults/--small < --config JSON <
+    dataset-derived camera calibration. The dataset knows its own intrinsics;
+    a JSON config must not silently discard them."""
     from .config import VSLAMConfig, small_config
-    import dataclasses
     cfg = small_config() if args.small else VSLAMConfig()
-    if camera is not None:
-        cfg = cfg.replace(camera=camera)
     if args.config:
         with open(args.config) as f:
             cfg = VSLAMConfig.from_json(f.read())
-    if args.no_ba:
-        pass  # handled by SLAMSystem(enable_ba=False)
+    if camera is not None:
+        cfg = cfg.replace(camera=camera)
     return cfg
 
 

@@ -79,6 +79,13 @@ class MatchingConfig:
     search_radius: float = 8.0       # projection search radius in px
                                      # (reference uses 2 px, src/vslam.cpp:149;
                                      # wider is more robust with correct poses)
+    # Which Hamming-distance kernel computes the (N1, N2) matrix:
+    #   "matmul"   — int8 bit-plane matmul on the MXU (matching/hamming.py)
+    #   "pallas"   — fused XOR+popcount VPU kernel (ops/pallas_hamming.py);
+    #                requires N1, N2 multiples of 256
+    #   "popcount" — naive lax.population_count over the packed words
+    # Default set by the on-chip race in ops/bench_kernels.py (KERNELS_r02.md).
+    kernel: str = "matmul"
 
 
 @dataclass(frozen=True)

@@ -195,7 +195,8 @@ def _t_basis(t):
 def refine_pose_gn(R, t, K, uv1, uv2, w, iters: int = 16,
                    huber_px: float = 1.0):
     """Robust IRLS Levenberg-Marquardt polish of (R, t) on the essential
-    manifold SO(3) x S^2, minimizing Huber-robustified squared Sampson error.
+    manifold SO(3) x S^2, minimizing Cauchy-robustified squared Sampson error
+    (the Cauchy scale is ``huber_px`` converted to normalized coordinates).
 
     Why: the linear 8-point fit is statistically inefficient for
     near-forward motion — measured 40 deg translation-direction error on an
@@ -208,7 +209,7 @@ def refine_pose_gn(R, t, K, uv1, uv2, w, iters: int = 16,
 
     Robustness design (both matter in practice):
       * IRLS weights are RE-DERIVED from the current residuals each
-        iteration (Huber influence, normalized-coordinate residuals scaled
+        iteration (Cauchy influence, normalized-coordinate residuals scaled
         to ~pixels by the focal length) rather than frozen from the caller's
         inlier mask — a frozen mask computed from a wrong starting model
         both excludes true inliers and keeps false ones, which biases the
@@ -219,11 +220,14 @@ def refine_pose_gn(R, t, K, uv1, uv2, w, iters: int = 16,
 
     Args:
       R, t: initial rotation / unit translation (x2 = R x1 + t convention).
-      w: (N,) nonnegative prior weights (0 = ignore the match entirely);
-         multiplied into the per-iteration robust weights.
-      huber_px: Huber threshold in pixels on the Sampson residual.
+      w: (N,) prior weights treated as a BINARY mask (match participates iff
+         w > 0); fractional weights are not honored — the per-iteration
+         robust weights are derived from residuals alone.
+      huber_px: robust-loss scale in pixels on the Sampson residual
+         (Cauchy scale, historical name).
     Returns:
-      (R, t) refined.
+      (R, t, final_robust_cost) — the refined pose and the Cauchy cost of
+      its final residuals (used by multi-start selection).
     """
     from ..core import lie
 
@@ -327,6 +331,21 @@ def refine_pose_gn_multistart(R, t, K, uv1, uv2, w, iters: int = 16,
     run = lambda R0, t0: refine_pose_gn(R0, t0, K, uv1, uv2, w,
                                         iters=iters, huber_px=huber_px)
     Rs, ts, costs = jax.vmap(run)(R0s, t0s)
+    costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)  # degenerate starts
+
+    # Cheirality gate: the Cauchy-Sampson cost is exactly invariant under
+    # t -> -t, so argmin alone can select a behind-camera solution when two
+    # basins' costs nearly tie. Disambiguate each start's +/-t by in-front
+    # vote, and disqualify starts whose cheirality support collapses.
+    z1p, z2p = triangulate_midpoint_depths(K, Rs, ts, uv1, uv2)    # (S, N)
+    z1m, z2m = triangulate_midpoint_depths(K, Rs, -ts, uv1, uv2)
+    valid = (w > 0)[None, :]
+    vp = ((z1p > 0) & (z2p > 0) & valid).sum(axis=1)
+    vm = ((z1m > 0) & (z2m > 0) & valid).sum(axis=1)
+    ts = jnp.where((vm > vp)[:, None], -ts, ts)
+    votes = jnp.maximum(vp, vm)
+    supported = votes >= jnp.maximum((0.5 * jnp.max(votes)).astype(votes.dtype), 1)
+    costs = jnp.where(supported, costs, jnp.inf)
     best = jnp.argmin(costs)
     return Rs[best], ts[best]
 

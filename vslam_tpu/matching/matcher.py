@@ -27,18 +27,26 @@ class MatchResult(NamedTuple):
     distance: jnp.ndarray  # (N1,) i32 — Hamming distance of the match
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_matmul"))
-def match(desc1, mask1, desc2, mask2, cfg: MatchingConfig,
-          use_matmul: bool = True) -> MatchResult:
+def _distance_matrix(desc1, desc2, kernel: str):
+    """Dispatch to the configured Hamming kernel (MatchingConfig.kernel)."""
+    if kernel == "pallas":
+        from ..ops import pallas_hamming
+        return pallas_hamming.hamming(desc1, desc2)
+    if kernel == "popcount":
+        return hamming.hamming_popcount(desc1, desc2)
+    assert kernel == "matmul", kernel
+    return hamming.hamming_matmul(desc1, desc2)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def match(desc1, mask1, desc2, mask2, cfg: MatchingConfig) -> MatchResult:
     """Match packed descriptors between two frames.
 
     Args:
       desc1: (N1, 8) uint32; mask1: (N1,) bool valid rows.
       desc2: (N2, 8) uint32; mask2: (N2,) bool.
     """
-    D = (hamming.hamming_matmul if use_matmul else hamming.hamming_popcount)(
-        desc1, desc2
-    )
+    D = _distance_matrix(desc1, desc2, cfg.kernel)
     # Invalidate padded rows/cols.
     D = jnp.where(mask1[:, None] & mask2[None, :], D, _BIG)
 

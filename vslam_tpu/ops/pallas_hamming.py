@@ -9,8 +9,9 @@ a naive XLA formulation materializes in HBM never exists.
 
 This is the VPU-integer counterpart of the MXU bit-plane matmul in
 matching/hamming.py (d = |a| + |b| - 2 a·b over int8 planes); both are
-exact. bench_kernels.py races them on hardware; matcher.match dispatches to
-whichever the config picks.
+exact. ``matcher.match`` dispatches on ``MatchingConfig.kernel``
+("matmul" | "pallas" | "popcount"); ops/bench_kernels.py races the three on
+hardware and the measured winner is the config default (KERNELS_r02.md).
 """
 from __future__ import annotations
 
@@ -23,6 +24,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_M = 256
 TILE_N = 256
+
+
+def hamming(desc1, desc2):
+    """Kernel-dispatch entry used by matcher.match for cfg.kernel="pallas".
+
+    Pads N1/N2 up to tile multiples (padded rows produce garbage distances
+    that the caller's validity masks already exclude) and runs compiled on
+    TPU, interpreted elsewhere (CPU tests).
+    """
+    n1 = desc1.shape[0]
+    n2 = desc2.shape[0]
+    p1 = (-n1) % TILE_M
+    p2 = (-n2) % TILE_N
+    d1 = jnp.pad(desc1, ((0, p1), (0, 0))) if p1 else desc1
+    d2 = jnp.pad(desc2, ((0, p2), (0, 0))) if p2 else desc2
+    fn = hamming_pallas if jax.default_backend() == "tpu" else \
+        hamming_pallas_interpret
+    D = fn(d1, d2)
+    return D[:n1, :n2]
 
 
 def _hamming_kernel(a_ref, b_ref, out_ref):
