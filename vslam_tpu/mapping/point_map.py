@@ -40,7 +40,9 @@ def insert_points(m: MapState, xyz, color, desc, valid, frame_idx=0) -> MapState
     Args:
       xyz: (B, 3) world points; color: (B, 3); desc: (B, 8) uint32 packed
       descriptor of the founding observation; valid: (B,) bool.
-    Rows beyond capacity are dropped silently (cursor saturates).
+    Rows beyond capacity are dropped (cursor saturates); the tracker counts
+    them (TrackOutput.num_dropped_inserts) and the pipeline reclaims slots
+    via ``evict_lru`` + ``compact`` before the cursor gets there.
     """
     C = m.capacity
     offs = jnp.cumsum(valid.astype(jnp.int32)) - 1          # (B,)
@@ -87,8 +89,10 @@ def cull_stale(m: MapState, current_frame, min_obs: int = 2,
     been seen for ``max_age`` frames is marked dead: it stops participating
     in association and is dropped from snapshots. (The reference's map only
     ever grows and every spurious triangulation stays forever —
-    SURVEY.md §5 'long-context'.) Slots are not reclaimed (cursor
-    monotonicity keeps ids stable for the observation graph).
+    SURVEY.md §5 'long-context'.) Culling only marks slots dead (cursor
+    monotonicity keeps ids stable for the observation graph between
+    maintenance points); ``compact`` reclaims the slots and hands back the
+    id remap for every id holder to apply.
     """
     in_cursor = jnp.arange(m.capacity) < m.size
     stale = (
@@ -98,6 +102,65 @@ def cull_stale(m: MapState, current_frame, min_obs: int = 2,
         & (current_frame - m.last_seen > max_age)
     )
     return m.replace(alive=m.alive & ~stale)
+
+
+def evict_lru(m: MapState, min_free: int) -> MapState:
+    """Mark the oldest-seen alive landmarks dead until at least ``min_free``
+    slots would be free after compaction.
+
+    Bounded-memory mapping policy: when the map approaches capacity even
+    after culling (well-observed landmarks never go stale), the points the
+    camera has not seen for longest are the ones least likely to be
+    re-associated; evicting them keeps insert bandwidth for the live frontier.
+    Exact-count eviction (ties broken by slot index) via one argsort over the
+    capacity axis — static shapes, jit-safe.
+    """
+    C = m.capacity
+    in_cursor = jnp.arange(C) < m.size
+    alive = m.alive & in_cursor
+    n_alive = alive.sum().astype(jnp.int32)
+    n_evict = jnp.maximum(n_alive - (C - min_free), 0)
+    ls = jnp.where(alive, m.last_seen, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(ls)                                  # oldest first
+    evict_idx = jnp.where(jnp.arange(C) < n_evict, order, C)
+    return m.replace(alive=m.alive.at[evict_idx].set(False, mode="drop"))
+
+
+def compact(m: MapState):
+    """Pack alive landmarks to the front of the arrays, freeing dead slots.
+
+    Returns (compacted_map, remap) where ``remap`` is (C,) i32 mapping old
+    slot id -> new slot id, -1 for retired slots. Every holder of map point
+    ids (tracker ``prev_map_id``, keyframe ``obs_pid``) must be passed
+    through ``remap_ids`` afterwards. This is the functional replacement for
+    the reference's never-shrinking realloc map (src/PointMap.cpp:5-15).
+    """
+    C = m.capacity
+    in_cursor = jnp.arange(C) < m.size
+    keep = m.alive & in_cursor
+    new_pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    remap = jnp.where(keep, new_pos, -1)
+    dst = jnp.where(keep, new_pos, C)                        # C -> drop
+    m2 = MapState(
+        xyz=jnp.zeros_like(m.xyz).at[dst].set(m.xyz, mode="drop"),
+        color=jnp.zeros_like(m.color).at[dst].set(m.color, mode="drop"),
+        desc=jnp.zeros_like(m.desc).at[dst].set(m.desc, mode="drop"),
+        desc_count=jnp.zeros_like(m.desc_count).at[dst].set(
+            m.desc_count, mode="drop"),
+        alive=jnp.zeros_like(m.alive).at[dst].set(keep, mode="drop"),
+        last_seen=jnp.zeros_like(m.last_seen).at[dst].set(
+            m.last_seen, mode="drop"),
+        size=keep.sum().astype(jnp.int32),
+    )
+    return m2, remap
+
+
+def remap_ids(ids, remap):
+    """Apply a ``compact`` remap to an array of map point ids (-1 passes
+    through; retired ids become -1)."""
+    C = remap.shape[0]
+    looked = remap[jnp.clip(ids, 0, C - 1)]
+    return jnp.where(ids >= 0, looked, -1)
 
 
 class AssociationResult(NamedTuple):

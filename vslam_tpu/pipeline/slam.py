@@ -17,9 +17,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import VSLAMConfig
+from ..mapping import point_map
 from ..optimizer import ba
 from ..utils.metrics import MetricsLogger
 from . import keyframes, tracker
+
+
+@jax.jit
+def _map_maintenance(m, prev_map_id, obs_pid, min_free):
+    """Evict LRU landmarks until >= min_free slots are reclaimable, compact
+    the map, and remap every id holder (tracker + keyframe observations)."""
+    m = point_map.evict_lru(m, min_free)
+    m2, remap = point_map.compact(m)
+    return (m2,
+            point_map.remap_ids(prev_map_id, remap),
+            point_map.remap_ids(obs_pid, remap))
 
 
 class SLAMSystem:
@@ -43,6 +55,14 @@ class SLAMSystem:
         self._K = jnp.asarray(cfg.camera.K())
         self.last_ba_stats = None
         self.last_output = None
+        # map maintenance: compact when the cursor passes the high-water
+        # mark, reclaiming at least min_free slots (evicting LRU landmarks
+        # if culling alone freed too few)
+        cap = cfg.map.capacity
+        self._maint_high_water = int(0.90 * cap)
+        self._maint_min_free = max(cap // 8, 1)
+        self.dropped_inserts_total = 0
+        self.maintenance_runs = 0
 
     # ------------------------------------------------------------------
     def process(self, img) -> Dict:
@@ -89,6 +109,23 @@ class SLAMSystem:
                 ran_ba = True
                 self._run_window_ba()
 
+        self.dropped_inserts_total += int(out.num_dropped_inserts)
+        ran_maintenance = False
+        if int(out.map_size) >= self._maint_high_water:
+            before = int(out.map_size)
+            m2, pid2, obs2 = _map_maintenance(
+                self.state.map, self.state.prev_map_id,
+                self.kf_store.obs_pid, self._maint_min_free,
+            )
+            self.state = self.state.replace(map=m2, prev_map_id=pid2)
+            self.kf_store = self.kf_store.replace(
+                obs_pid=obs2, obs_mask=self.kf_store.obs_mask & (obs2 >= 0)
+            )
+            self.maintenance_runs += 1
+            ran_maintenance = True
+            self.metrics.log(kind="map_maintenance", frame=self.frame_idx,
+                             size_before=before, size_after=int(m2.size))
+
         info = {
             "kind": "frame",
             "frame": self.frame_idx,
@@ -96,11 +133,14 @@ class SLAMSystem:
             "num_inliers": int(out.num_inliers),
             "num_associated": int(out.num_associated),
             "num_new_points": int(out.num_new_points),
+            "num_dropped_inserts": int(out.num_dropped_inserts),
             "map_size": int(out.map_size),
+            "map_alive": int(out.map_alive),
             "scale": float(out.scale),
             "success": bool(out.success),
             "keyframe": bool(is_kf),
             "ran_ba": ran_ba,
+            "ran_maintenance": ran_maintenance,
             "wall_s": time.perf_counter() - t0,
         }
         self.metrics.log(**info)

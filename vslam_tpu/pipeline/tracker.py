@@ -55,7 +55,9 @@ class TrackOutput(NamedTuple):
     num_cheirality: jnp.ndarray
     num_associated: jnp.ndarray
     num_new_points: jnp.ndarray
+    num_dropped_inserts: jnp.ndarray  # inserts lost to a full map this frame
     map_size: jnp.ndarray
+    map_alive: jnp.ndarray     # alive landmarks within the cursor
     scale: jnp.ndarray
     success: jnp.ndarray
     # per-match data for frame annotation (reference draws keypoints, match
@@ -214,6 +216,9 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
     new_ids = jnp.where(new_ids < new_map.capacity, new_ids, -1)
     tgt2 = jnp.where(insert & (new_ids >= 0), mres.idx2, N)
     map_id2 = map_id2.at[tgt2].set(new_ids, mode="drop")
+    n_dropped = (insert & (state.map.size + offs >= new_map.capacity)).sum()
+    n_alive = (new_map.alive
+               & (jnp.arange(new_map.capacity) < new_map.size)).sum()
 
     out = TrackOutput(
         pose=new_pose,
@@ -221,8 +226,10 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
         num_inliers=rres.num_inliers,
         num_cheirality=jnp.max(votes),
         num_associated=assoc_ok.sum(),
-        num_new_points=insert.sum(),
+        num_new_points=insert.sum() - n_dropped,
+        num_dropped_inserts=n_dropped,
         map_size=new_map.size,
+        map_alive=n_alive,
         scale=scale,
         success=pose_ok,
         uv1=uv1,
