@@ -38,6 +38,91 @@ class TestShardedRansac:
         assert recall > 0.7, recall
 
 
+class TestShardedMap:
+    def _populated_map(self, capacity=1024, n_pts=700, seed=0):
+        from vslam_tpu.core.types import empty_map
+        from vslam_tpu.mapping import point_map
+
+        rng = np.random.RandomState(seed)
+        m = empty_map(capacity, 2)
+        xyz = rng.randn(n_pts, 3).astype(np.float32) * np.array([8, 4, 10],
+                                                                np.float32)
+        xyz[:, 2] += 15.0
+        desc = rng.randint(0, 2 ** 32, (n_pts, 8), dtype=np.uint32)
+        m = point_map.insert_points(
+            m, jnp.asarray(xyz), jnp.zeros((n_pts, 3), jnp.float32),
+            jnp.asarray(desc), jnp.ones(n_pts, bool))
+        # a few dead slots, as after culling
+        kill = jnp.asarray(rng.rand(capacity) < 0.05)
+        m = m.replace(alive=m.alive & ~kill)
+        return m, xyz, desc, rng
+
+    def test_associate_parity_with_single_device(self, mesh8):
+        from vslam_tpu.config import MapConfig, MatchingConfig
+        from vslam_tpu.mapping import point_map
+        from vslam_tpu.parallel import sharded_map
+
+        m, xyz, desc, rng = self._populated_map()
+        W, H = 640, 480
+        K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]], np.float32)
+        P_mat = jnp.asarray(np.hstack([K, np.zeros((3, 1), np.float32)]))
+        # keypoints = projections of a subset of map points + noise, with
+        # near-identical descriptors so associations actually fire
+        n_kp = 256
+        sel = rng.choice(700, n_kp, replace=False)
+        uvw = (np.hstack([xyz[sel], np.ones((n_kp, 1), np.float32)])
+               @ np.asarray(P_mat).T)
+        kp_uv = uvw[:, :2] / uvw[:, 2:3] + rng.randn(n_kp, 2) * 0.5
+        kp_desc = desc[sel].copy()
+        kp_desc[:, 0] ^= 1  # 1-bit perturbation
+        kp_free = np.ones(n_kp, bool)
+        kp_free[::7] = False
+
+        map_cfg = MapConfig(capacity=1024, obs_per_point=2, block_size=64)
+        match_cfg = MatchingConfig()
+        args = (P_mat, jnp.asarray(kp_uv.astype(np.float32)),
+                jnp.asarray(kp_desc), jnp.asarray(kp_free))
+        ref = point_map.associate(m, *args, map_cfg, match_cfg, W, H)
+        got = sharded_map.associate_sharded(
+            mesh8, "shard", sharded_map.shard_map_state(mesh8, "shard", m),
+            *args, map_cfg=map_cfg, match_cfg=match_cfg, width=W, height=H)
+        np.testing.assert_array_equal(np.asarray(got.point_id),
+                                      np.asarray(ref.point_id))
+        np.testing.assert_array_equal(np.asarray(got.distance),
+                                      np.asarray(ref.distance))
+        # and a meaningful number of associations really happened (many
+        # synthetic points legitimately fall outside the frustum)
+        assert int((np.asarray(ref.point_id) >= 0).sum()) > 40
+
+    def test_sharded_insert_preserves_sharding(self, mesh8):
+        """insert_points under jit with a sharded map: XLA's sharding
+        propagation keeps the point axis distributed (config-4 storage)."""
+        from vslam_tpu.mapping import point_map
+        from vslam_tpu.parallel import sharded_map
+
+        m, _, _, rng = self._populated_map()
+        ms = sharded_map.shard_map_state(mesh8, "shard", m)
+        B = 64
+        xyz = jnp.asarray(rng.randn(B, 3).astype(np.float32))
+        desc = jnp.asarray(rng.randint(0, 2 ** 32, (B, 8), dtype=np.uint32))
+
+        out_sh = sharded_map.map_state_specs("shard")
+        ins = jax.jit(
+            point_map.insert_points,
+            out_shardings=jax.tree.map(
+                lambda s: jax.sharding.NamedSharding(mesh8, s), out_sh),
+        )
+        m2 = ins(ms, xyz, jnp.zeros((B, 3), jnp.float32), desc,
+                 jnp.ones(B, bool))
+        assert int(m2.size) == int(m.size) + B
+        spec = m2.xyz.sharding.spec
+        assert spec[0] == "shard", spec
+        # payload parity with the unsharded path
+        ref = point_map.insert_points(
+            m, xyz, jnp.zeros((B, 3), jnp.float32), desc, jnp.ones(B, bool))
+        np.testing.assert_allclose(np.asarray(m2.xyz), np.asarray(ref.xyz))
+
+
 class TestShardedBA:
     def test_matches_single_device_solution(self, mesh8):
         # 256 points divisible by 8
