@@ -75,11 +75,26 @@ class TestEightPoint:
     def test_recovers_true_F(self):
         K, T1, T2, uv1, uv2, vis, _, _ = _two_view_setup(noise=0.0)
         idx = np.where(vis)[0][:8]
-        F = np.asarray(epipolar.fundamental_from_8pt(jnp.asarray(uv1[idx]), jnp.asarray(uv2[idx])))
         F_true = _true_fundamental(K, T1, T2)
-        # F defined up to sign
+
+        # High-accuracy path (LAPACK SVD of A): tight entrywise bound.
+        F_svd = np.asarray(epipolar.fundamental_from_8pt(
+            jnp.asarray(uv1[idx]), jnp.asarray(uv2[idx]), method="svd"))
+        err = min(np.abs(F_svd - F_true).max(), np.abs(F_svd + F_true).max())
+        assert err < 1e-4, err
+
+        # TPU hot path (Jacobi + Rayleigh-Ritz null vector): this minimal
+        # sample is near-degenerate (sigma_8 ~ 1e-2), so f32 normal-equation
+        # formation alone bounds entrywise accuracy near 1e-3 — what matters
+        # for RANSAC is the epipolar residual the model induces, which must
+        # be essentially zero on the true correspondences (gate is 2 px^2).
+        F = np.asarray(epipolar.fundamental_from_8pt(
+            jnp.asarray(uv1[idx]), jnp.asarray(uv2[idx])))
         err = min(np.abs(F - F_true).max(), np.abs(F + F_true).max())
-        assert err < 1e-3, err
+        assert err < 5e-3, err
+        e = np.asarray(epipolar.sampson_error(
+            jnp.asarray(F), jnp.asarray(uv1), jnp.asarray(uv2)))
+        assert np.median(e[vis]) < 1e-3, np.median(e[vis])
 
     def test_sampson_zero_for_perfect(self):
         K, T1, T2, uv1, uv2, vis, _, _ = _two_view_setup(noise=0.0)

@@ -80,8 +80,7 @@ def fundamental_from_8pt(uv1, uv2, method: str = "jacobi", sweeps: int = 8):
     n2, T2 = hartley_normalize(uv2, jnp.ones(uv2.shape[0], bool))
     A = _constraint_rows(n1, n2)  # (N, 9)
     if method == "jacobi":
-        AtA = A.T @ A
-        f = jacobi.smallest_eigvec(AtA, sweeps=sweeps)
+        f = jacobi.null_vector(A, sweeps=sweeps)
         F = f.reshape(3, 3)
         F = jacobi.rank2_project(F, sweeps=sweeps)
     else:

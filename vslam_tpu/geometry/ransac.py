@@ -326,8 +326,7 @@ def _weighted_eight_point(uv1, uv2, w):
     n1, T1 = epipolar.hartley_normalize(uv1, mask)
     n2, T2 = epipolar.hartley_normalize(uv2, mask)
     A = epipolar._constraint_rows(n1, n2) * w[:, None]
-    AtA = A.T @ A
-    F = jacobi.smallest_eigvec(AtA, sweeps=10).reshape(3, 3)
+    F = jacobi.null_vector(A, sweeps=10).reshape(3, 3)
     F = jacobi.rank2_project(F, sweeps=8)
     F = T2.T @ F @ T1
     return F / (jnp.linalg.norm(F) + 1e-12)

@@ -35,9 +35,8 @@ def triangulate_dlt(P1, P2, uv1, uv2):
     A = jnp.stack([a0, a1, a2, a3], axis=1)  # (N, 4, 4)
     # Row normalization improves conditioning of the normal equations.
     A = A / (jnp.linalg.norm(A, axis=2, keepdims=True) + 1e-12)
-    AtA = jnp.einsum("nij,nik->njk", A, A)   # (N, 4, 4) symmetric
     from ..ops import jacobi
-    Xh = jacobi.smallest_eigvec(AtA, sweeps=7)  # (N, 4) null vector
+    Xh = jacobi.null_vector(A, sweeps=7)     # (N, 4) null vector, RR-refined
     w = Xh[:, 3]
     w_safe = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
     X = Xh[:, :3] / w_safe[:, None]

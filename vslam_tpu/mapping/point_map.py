@@ -226,29 +226,53 @@ def associate(
         # pixel gate: (B, N)
         du = u[:, None] - kp_x[None, :]
         dv = v[:, None] - kp_y[None, :]
-        near = (du * du + dv * dv) <= r_sq
+        near = vis[:, None] & ((du * du + dv * dv) <= r_sq)
 
-        # Hamming: min over the K archive slots; each slot is one int8 matmul.
-        ham = jnp.full((B, N), 1 << 14, jnp.int32)
-        for k in range(K):
-            slot_valid = (dcount > k)[:, None]        # (B, 1)
-            bits = unpack_bits(desc[:, k, :])         # (B, 256) int8
-            ab = jax.lax.dot_general(
-                bits, kp_bits,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            d_k = (
-                jnp.sum(bits.astype(jnp.int32), 1)[:, None]
-                + jnp.sum(kp_bits.astype(jnp.int32), 1)[None, :]
-                - 2 * ab
-            )
-            ham = jnp.where(slot_valid, jnp.minimum(ham, d_k), ham)
+        def _gated(args):
+            near, desc, dcount = args
+            # Hamming: min over the K archive slots, one int8 MXU matmul per
+            # occupied slot. Slot 0 always exists for live points; slots k>0
+            # run only when some point in the block has a k+1'th observation
+            # (on a typical map most blocks don't — ~K x fewer matmuls).
+            ham = jnp.full((B, N), 1 << 14, jnp.int32)
+            kp_pop = jnp.sum(kp_bits.astype(jnp.int32), 1)[None, :]
 
-        ok = vis[:, None] & near & kp_free[None, :] & (ham < match_cfg.hamming_max)
-        ham_m = jnp.where(ok, ham, 1 << 14)
-        blk_best = jnp.min(ham_m, axis=0)             # (N,)
-        blk_arg = jnp.argmin(ham_m, axis=0)           # (N,)
+            def _slot(ham, k):
+                slot_valid = (dcount > k)[:, None]    # (B, 1)
+                bits = unpack_bits(desc[:, k, :])     # (B, 256) int8
+                ab = jax.lax.dot_general(
+                    bits, kp_bits,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                d_k = (jnp.sum(bits.astype(jnp.int32), 1)[:, None]
+                       + kp_pop - 2 * ab)
+                return jnp.where(slot_valid, jnp.minimum(ham, d_k), ham)
+
+            ham = _slot(ham, 0)
+            for k in range(1, K):
+                ham = jax.lax.cond(
+                    jnp.any(dcount > k),
+                    lambda h, kk=k: _slot(h, kk),
+                    lambda h: h,
+                    ham,
+                )
+
+            ok = near & kp_free[None, :] & (ham < match_cfg.hamming_max)
+            ham_m = jnp.where(ok, ham, 1 << 14)
+            return jnp.min(ham_m, axis=0), jnp.argmin(ham_m, axis=0)  # (N,)
+
+        def _trivial(args):
+            return (jnp.full((N,), 1 << 14, jnp.int32),
+                    jnp.zeros((N,), jnp.int32))
+
+        # A block contributes only if some candidate pair passes the
+        # frustum+radius gate — for a moving camera most stale blocks don't,
+        # so their K matmuls are skipped entirely.
+        blk_best, blk_arg = jax.lax.cond(
+            jnp.any(near) & jnp.any(kp_free), _gated, _trivial,
+            (near, desc, dcount),
+        )
         improved = blk_best < best_d
         best_d = jnp.where(improved, blk_best, best_d)
         best_id = jnp.where(improved, start + blk_arg, best_id)

@@ -2,81 +2,211 @@
 
 Run on a TPU:  python -m vslam_tpu.ops.bench_kernels
 Prints ms per call and achieved fraction of the relevant roofline
-(speed-of-light analysis per SURVEY.md §5 tracing notes).
+(speed-of-light analysis per SURVEY.md §5 tracing notes). The committed
+output of this race lives in KERNELS_r02.md and sets the config defaults
+(MatchingConfig.kernel).
 
-Measured pairs:
+Measured:
   * Hamming (N1,N2) over 256-bit descriptors: MXU int8 bit-plane matmul
     (matching/hamming.py) vs Pallas XOR-popcount (ops/pallas_hamming.py)
     vs naive XLA popcount broadcast.
+  * Search-by-projection association (mapping/point_map.associate) at
+    several live map sizes — the map-scaling hot path (the analogue of
+    reference src/vslam.cpp:129-161).
   * batched 9x9 symmetric eigendecomposition: fixed-sweep Jacobi
     (ops/jacobi.py) vs jnp.linalg.eigh.
+
+Timing methodology (this transport, measured in rounds 1-2):
+  * ``jax.block_until_ready`` returns BEFORE the device finishes; fetching
+    output bytes is the only true completion barrier. Every timed region
+    ends at an ``np.asarray`` of a scalar output.
+  * host->device upload rides a ~70 KB/s tunnel (25 MB took 365 s), so all
+    benchmark inputs are GENERATED ON DEVICE; per-iteration variation comes
+    from folding the loop index into the inputs inside the program.
+  * the transport caches bit-identical executions (a replay returns in
+    ~1 ms), so the timed run differs from the warm-up run by a traced
+    offset scalar.
+  * per-dispatch overhead over the tunnel is ~5-25 ms — larger than most
+    kernels here. Device time is therefore measured by running the kernel
+    N times under one ``lax.scan`` (outputs reduced into the carry so
+    nothing is DCE'd) and differencing two iteration counts:
+    (t(2n) - t(n)) / n cancels the constant dispatch/fetch/epilogue cost.
 """
 from __future__ import annotations
 
+import functools
 import time
 
 import numpy as np
 
+# TPU v5e (lite) single-chip peaks, used for roofline fractions.
+INT8_PEAK_OPS = 394e12      # int8 TOPS
+BF16_PEAK_FLOPS = 197e12
+HBM_BW = 819e9              # bytes/s
 
-def _time(fn, *args, n=20):
+
+def _fetch(out):
+    """True completion barrier: pull a few output bytes to the host."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1000.0  # ms
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def _device_time(fn_i, n_iter):
+    """Per-call device ms for ``fn_i(i)`` via scan-differencing.
+
+    fn_i: index -> kernel output; must derive per-iteration distinct inputs
+    from the uint32 index (closed-over device arrays are program constants).
+    Runs n and 2n scan steps, all outputs summed into the carry, and returns
+    (t_2n - t_n) / n — dispatch, fetch and epilogue costs cancel. The
+    reduction of fn's full output into the carry is included (every real
+    consumer reduces the output too).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(offset, n):
+        def body(c, i):
+            out = fn_i(i + offset)
+            s = sum(jnp.sum(l.astype(jnp.float32))
+                    for l in jax.tree_util.tree_leaves(out))
+            return c + s, None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                            jnp.arange(n, dtype=jnp.uint32))
+        return c
+
+    def timed(n, off):
+        _fetch(run(jnp.uint32(0), n))        # compile + warm
+        t0 = time.perf_counter()
+        _fetch(run(jnp.uint32(off), n))      # distinct bytes -> no replay
+        return time.perf_counter() - t0
+
+    t_n = timed(n_iter, 1)
+    t_2n = timed(2 * n_iter, 2)
+    return max(t_2n - t_n, 1e-9) / n_iter * 1000.0  # ms
+
+
+def _rand_desc(key, n):
+    import jax
+    import jax.numpy as jnp
+    return jax.random.bits(key, (n, 8), jnp.uint32)
+
+
+def bench_hamming(n1=3072, n2=3072, n_iter=512):
+    import jax
+    import jax.numpy as jnp
+    from ..matching import hamming
+    from . import pallas_hamming
+
+    d1 = _rand_desc(jax.random.PRNGKey(0), n1)
+    d2 = _rand_desc(jax.random.PRNGKey(1), n2)
+    _fetch(d2)
+
+    int8_ops = 2.0 * n1 * n2 * 256            # MAC count of the matmul form
+    rows = []
+    for name, fn in [
+        ("matmul(int8 MXU)", hamming.hamming_matmul),
+        ("pallas xor-popcount", pallas_hamming.hamming_pallas),
+        ("xla popcount bcast", hamming.hamming_popcount),
+    ]:
+        try:
+            ms = _device_time(lambda i, f=fn: f(d1 ^ i, d2), n_iter)
+            frac = int8_ops / (ms / 1e3) / INT8_PEAK_OPS
+            rows.append((name, ms, frac))
+            print(f"hamming {name:22s} {ms:8.4f} ms   "
+                  f"{frac * 100:5.1f}% of int8 peak (matmul-equivalent)")
+        except Exception as e:
+            rows.append((name, float("inf"), 0.0))
+            print(f"hamming {name:22s} FAILED: {type(e).__name__}: {e}")
+
+    # consistency: all paths agree bit-exactly
+    mm = jax.jit(hamming.hamming_matmul)
+    a = np.asarray(mm(d1, d2))
+    for name, f in [("pallas", pallas_hamming.hamming_pallas),
+                    ("popcount", hamming.hamming_popcount)]:
+        try:
+            b = np.asarray(jax.jit(f)(d1, d2))
+            assert (a == b).all(), f"{name} disagrees with matmul oracle"
+            print(f"hamming agreement matmul=={name}: OK")
+        except Exception as e:
+            print(f"hamming agreement check ({name}) failed: {e}")
+    return rows
+
+
+def bench_associate(map_sizes=(4096, 51200, 131072), n_kp=3072, n_iter=32):
+    """Search-by-projection cost vs live map size (the scaling hot path)."""
+    import jax
+    import jax.numpy as jnp
+    from ..config import VSLAMConfig
+    from ..core.types import empty_map
+    from ..mapping import point_map
+
+    cfg = VSLAMConfig()
+    W, H = cfg.camera.width, cfg.camera.height
+    K = cfg.camera.K()
+    P = jnp.asarray(np.hstack([K, np.zeros((3, 1), np.float32)]))
+    rows = []
+    for ms_pts in map_sizes:
+        cap = cfg.map.capacity
+        m = empty_map(cap, cfg.map.obs_per_point)
+        key = jax.random.PRNGKey(ms_pts)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        xyz = jax.random.normal(k1, (ms_pts, 3)) * jnp.asarray([20., 8., 30.]) \
+            + jnp.asarray([0., 0., 40.])
+        desc = jax.random.bits(k2, (ms_pts, 8), jnp.uint32)
+        m = point_map.insert_points(
+            m, xyz, jnp.zeros((ms_pts, 3), jnp.float32), desc,
+            jnp.ones(ms_pts, bool))
+        uv = jnp.stack([jax.random.uniform(k3, (n_kp,)) * W,
+                        jax.random.uniform(k3, (n_kp,)) * H], -1)
+        kd = jax.random.bits(k4, (n_kp, 8), jnp.uint32)
+        _fetch(m.size)
+
+        fn_i = lambda i: point_map.associate(
+            m, P, uv + (i % 7).astype(jnp.float32) * 0.1, kd ^ i,
+            jnp.ones(n_kp, bool), cfg.map, cfg.matching, W, H)
+        t = _device_time(fn_i, n_iter)
+        # int8 MAC count of the Hamming matmuls actually executed
+        # (blocks past the cursor are skipped by lax.cond)
+        n_blocks = -(-ms_pts // cfg.map.block_size)
+        ops = 2.0 * n_blocks * cfg.map.block_size * n_kp * 256 \
+            * cfg.map.obs_per_point
+        frac = ops / (t / 1e3) / INT8_PEAK_OPS
+        rows.append((ms_pts, t, frac))
+        print(f"associate map={ms_pts:7d} {t:8.3f} ms   "
+              f"{frac * 100:5.1f}% of int8 peak "
+              f"({n_blocks} blocks x K={cfg.map.obs_per_point})")
+    return rows
+
+
+def bench_eigh(batch=2048, n_iter=32):
+    import jax
+    import jax.numpy as jnp
+    from . import jacobi
+
+    A8 = jax.random.normal(jax.random.PRNGKey(3), (batch, 8, 9))
+    AtA = jnp.einsum("bij,bik->bjk", A8, A8)
+    _fetch(AtA)
+    jac = lambda A: jacobi.jacobi_eigh(A, sweeps=8)
+    lap = jnp.linalg.eigh
+    for name, fn in [("jacobi(8 sweeps)", jac), ("jnp.linalg.eigh", lap)]:
+        try:
+            ms = _device_time(
+                lambda i, f=fn: f(AtA * (1.0 + i.astype(jnp.float32) * 1e-6)),
+                n_iter)
+            print(f"eigh9x9 {name:22s} {ms:8.3f} ms  ({batch} batch)")
+        except Exception as e:
+            print(f"eigh9x9 {name:22s} FAILED: {type(e).__name__}: {e}")
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-
-    from ..matching import hamming
-    from . import jacobi, pallas_hamming
-
-    rng = np.random.RandomState(0)
-    N1 = N2 = 3072
-    d1 = jnp.asarray(rng.randint(0, 2 ** 32, (N1, 8), dtype=np.uint32))
-    d2 = jnp.asarray(rng.randint(0, 2 ** 32, (N2, 8), dtype=np.uint32))
-
-    mm = jax.jit(hamming.hamming_matmul)
-    pc = jax.jit(hamming.hamming_popcount)
-    pk = jax.jit(pallas_hamming.hamming_pallas)
-
-    flops = 2.0 * N1 * N2 * 256          # int8 MAC count of the matmul form
-    int8_peak = 394e12                    # v5e int8 TOPS (approx)
-    for name, fn in [("matmul(int8 MXU)", mm), ("pallas xor-popcount", pk),
-                     ("xla popcount bcast", pc)]:
-        try:
-            ms = _time(fn, d1, d2)
-            frac = flops / (ms / 1e3) / int8_peak
-            print(f"hamming {name:22s} {ms:8.3f} ms   {frac*100:5.1f}% of int8 peak")
-        except Exception as e:
-            print(f"hamming {name:22s} FAILED: {type(e).__name__}: {e}")
-
-    # consistency
-    a = np.asarray(mm(d1, d2))
-    try:
-        b = np.asarray(pk(d1, d2))
-        assert (a == b).all(), "pallas kernel disagrees with matmul oracle"
-        print("hamming agreement: OK")
-    except Exception as e:
-        print("hamming agreement check failed:", e)
-
-    # batched 9x9 eigh
-    H = 2048
-    A8 = rng.randn(H, 8, 9).astype(np.float32)
-    AtA = jnp.asarray(np.einsum("bij,bik->bjk", A8, A8))
-    jac = jax.jit(lambda A: jacobi.jacobi_eigh(A, sweeps=8))
-    lap = jax.jit(jnp.linalg.eigh)
-    for name, fn in [("jacobi(8 sweeps)", jac), ("jnp.linalg.eigh", lap)]:
-        try:
-            ms = _time(fn, AtA)
-            print(f"eigh9x9 {name:22s} {ms:8.3f} ms  ({H} batch)")
-        except Exception as e:
-            print(f"eigh9x9 {name:22s} FAILED: {type(e).__name__}")
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    bench_hamming()
+    bench_associate()
+    bench_eigh()
 
 
 if __name__ == "__main__":
