@@ -60,3 +60,54 @@ def test_kitti_loader_end_to_end_tracking(kitti_root):
     for i, img in ds:
         sys_.process(img)
     assert sys_.frame_idx == 5
+
+
+@pytest.fixture()
+def tum_root(tmp_path):
+    from PIL import Image
+    root = tmp_path / "tum"
+    rgb = root / "rgb"
+    rgb.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(3):
+        img = (rng.rand(480, 640) * 255).astype(np.uint8)
+        Image.fromarray(img, mode="L").save(rgb / f"{i}.png")
+        lines.append(f"{i:.6f} rgb/{i}.png")
+    (root / "rgb.txt").write_text("# ts file\n" + "\n".join(lines) + "\n")
+    return str(root)
+
+
+def test_tum_undistortion_maps_match_opencv(tum_root):
+    """The numpy radial-tangential remap must agree with OpenCV's
+    initUndistortRectifyMap oracle (same model, same coefficients)."""
+    import cv2
+    from vslam_tpu.datasets.loaders import TumRgbdMono
+
+    ds = TumRgbdMono(tum_root)
+    assert ds.distortion == TumRgbdMono.DEFAULT_DISTORTION
+    mx, my = ds._undistort_maps()
+
+    fx, fy, cx, cy = TumRgbdMono.DEFAULT_INTRINSICS
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+    d = np.asarray(TumRgbdMono.DEFAULT_DISTORTION, np.float64)
+    ref_x, ref_y = cv2.initUndistortRectifyMap(
+        K, d, None, K, (640, 480), cv2.CV_32FC1)
+    np.testing.assert_allclose(mx, ref_x, atol=0.05)
+    np.testing.assert_allclose(my, ref_y, atol=0.05)
+
+    # frames come out undistorted (shape preserved, finite)
+    frames = [g for _, g in ds]
+    assert len(frames) == 3 and frames[0].shape == (480, 640)
+    assert all(np.isfinite(f).all() for f in frames)
+
+    # opting out restores raw frames
+    ds_raw = TumRgbdMono(tum_root, distortion=None)
+    raw = [g for _, g in ds_raw]
+    assert not np.allclose(raw[0], frames[0])
+
+
+def test_tum_explicit_intrinsics_disable_default_distortion(tum_root):
+    from vslam_tpu.datasets.loaders import TumRgbdMono
+    ds = TumRgbdMono(tum_root, intrinsics=(500.0, 500.0, 320.0, 240.0))
+    assert ds.distortion is None

@@ -89,6 +89,7 @@ def cmd_run(args):
                       enable_ba=not args.no_ba, seed=args.seed)
     if args.save_frames:
         os.makedirs(os.path.join(args.out, "frames"), exist_ok=True)
+    stream = None
     limit = args.frames if args.frames else n_total
     for i, img in source:
         if i >= limit:
@@ -105,7 +106,10 @@ def cmd_run(args):
                 path=os.path.join(args.out, "frames", f"{i:06d}.png"),
             )
         if args.snapshot_every and i > 0 and i % args.snapshot_every == 0:
-            render.save_html(sys_.snapshot(), os.path.join(args.out, "map.html"))
+            if stream is None:
+                from .viz.stream import MapStream
+                stream = MapStream(args.out)
+            stream.update(sys_.snapshot(), frame=i)
         if args.verbose and "num_matches" in info:
             print(f"frame {info['frame']:4d}: matches={info['num_matches']:4d} "
                   f"inliers={info['num_inliers']:4d} map={info['map_size']:6d} "
@@ -179,7 +183,9 @@ def main(argv=None):
                    help="write annotated PNG per frame (keypoints + match "
                    "lines; the reference's live window, offline)")
     r.add_argument("--snapshot-every", type=int, default=0,
-                   help="rewrite out/map.html every N frames (live-ish view)")
+                   help="append a map delta to out/stream.jsonl every N "
+                        "frames; out/live.html tails it (serve the out dir "
+                        "with `python -m http.server` for a live view)")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("eval", help="ATE/RPE between TUM trajectories")

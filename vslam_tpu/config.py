@@ -118,6 +118,12 @@ class MapConfig:
                                      # (reference keeps every observation,
                                      # src/PointMap.h:15-16; we keep a rolling K)
     block_size: int = 4096           # shard/scan granularity for association
+    # Search-by-projection kernel:
+    #   "pallas" — fused VMEM-resident kernel (ops/pallas_associate.py): the
+    #              (block, keypoints) tile never exists in HBM. Default per
+    #              the on-chip race in KERNELS_r02.md.
+    #   "xla"    — blocked lax.scan of int8 MXU matmuls (point_map.associate)
+    kernel: str = "pallas"
 
 
 @dataclass(frozen=True)

@@ -120,12 +120,21 @@ class KittiOdometry:
 class TumRgbdMono:
     """TUM RGB-D sequence, RGB stream only (monocular)."""
 
-    # fr1 default intrinsics
+    # fr1 default intrinsics + radial-tangential distortion (k1,k2,p1,p2,k3)
+    # from the TUM RGB-D calibration page. fr1 has strong radial distortion;
+    # tracking on raw pixels degrades ATE (VERDICT r01 weak #8), so frames
+    # are undistorted to the pinhole model before use.
     DEFAULT_INTRINSICS = (517.3, 516.5, 318.6, 255.3)
+    DEFAULT_DISTORTION = (0.2624, -0.9531, -0.0054, 0.0026, 1.1633)
 
     def __init__(self, root: str, target: Optional[Tuple[int, int]] = None,
-                 intrinsics: Optional[Tuple[float, float, float, float]] = None):
+                 intrinsics: Optional[Tuple[float, float, float, float]] = None,
+                 distortion: Optional[Tuple[float, ...]] = "default"):
         self.root = root
+        if distortion == "default":
+            # default coefficients belong to the default (fr1) intrinsics
+            distortion = self.DEFAULT_DISTORTION if intrinsics is None else None
+        self.distortion = distortion
         rgb_txt = os.path.join(root, "rgb.txt")
         if not os.path.exists(rgb_txt):
             raise FileNotFoundError(rgb_txt)
@@ -139,6 +148,8 @@ class TumRgbdMono:
                 self.entries.append((float(ts), rel))
         fx, fy, cx, cy = intrinsics or self.DEFAULT_INTRINSICS
         w, h = 640, 480
+        # undistortion happens at native resolution with the native K
+        self._native_K = (fx, fy, cx, cy)
         self.target = target
         if target is not None:
             tw, th = target
@@ -156,13 +167,34 @@ class TumRgbdMono:
     def __len__(self):
         return len(self.entries)
 
+    def _undistort_maps(self):
+        """Precompute the pixel remap once (numpy; no cv2 dependency for the
+        math — cv2.initUndistortRectifyMap would be equivalent)."""
+        import numpy as np
+        fx, fy, cx, cy = self._native_K
+        k1, k2, p1, p2, k3 = (tuple(self.distortion) + (0.0,) * 5)[:5]
+        w, h = 640, 480
+        u, v = np.meshgrid(np.arange(w, dtype=np.float32),
+                           np.arange(h, dtype=np.float32))
+        x = (u - cx) / fx
+        y = (v - cy) / fy
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        return (xd * fx + cx).astype(np.float32), \
+            (yd * fy + cy).astype(np.float32)
+
     def __iter__(self):
         import cv2
+        maps = self._undistort_maps() if self.distortion is not None else None
         for i, (ts, rel) in enumerate(self.entries):
             img = cv2.imread(os.path.join(self.root, rel))
             if img is None:
                 return
             g = _to_gray_f32(img)
+            if maps is not None:
+                g = cv2.remap(g, maps[0], maps[1], cv2.INTER_LINEAR)
             if self.target is not None:
                 g = _resize_pad(g, *self.target)
             yield i, g

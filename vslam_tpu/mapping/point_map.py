@@ -188,6 +188,14 @@ def associate(
     distance, accepted if that distance < ``match_cfg.hamming_max``
     (reference gate at src/vslam.cpp:152-153, DISTANCE_THRESHOLD=64).
     """
+    if map_cfg.kernel == "pallas":
+        from ..ops import pallas_associate
+        pid, dist = pallas_associate.associate_fused(
+            m, P, kp_uv, kp_desc, kp_free, map_cfg, match_cfg, width, height,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return AssociationResult(point_id=pid, distance=dist)
+
     C = m.capacity
     B = map_cfg.block_size
     assert C % B == 0

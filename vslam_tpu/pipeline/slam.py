@@ -169,6 +169,9 @@ class SLAMSystem:
             initial_cost=float(stats.initial_cost),
             final_cost=float(stats.final_cost),
             accepted=int(np.asarray(stats.accepted).sum()),
+            dropped_points=int(wp.n_dropped_points),
+            dropped_obs=int(wp.n_dropped_obs),
+            evicted_keyframes=int(wp.n_evicted_keyframes),
         )
 
     # ------------------------------------------------------------------
@@ -219,6 +222,9 @@ class SLAMSystem:
             kind="global_ba",
             initial_cost=float(stats.initial_cost),
             final_cost=float(stats.final_cost),
+            dropped_points=int(wp.n_dropped_points),
+            dropped_obs=int(wp.n_dropped_obs),
+            evicted_keyframes=int(wp.n_evicted_keyframes),
         )
         return stats
 
