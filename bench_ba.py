@@ -1,27 +1,36 @@
 """BA scaling benchmark (BASELINE metric 3): LM iterations/sec + scaling.
 
-Writes BENCH_BA_r02.json. Run on the TPU for the single-chip number:
+Writes BENCH_BA_r03.json. Run on the TPU for the single-chip number:
 
-    python bench_ba.py            # real chip: iterations/sec
+    python bench_ba.py            # real chip: iterations/sec + breakdown
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python bench_ba.py --cpu-mesh   # virtual-mesh parity + model
+        python bench_ba.py --cpu-mesh   # virtual-mesh parity
 
 What is measured vs modeled (and why):
 
   * measured — single-chip LM iterations/sec on a BASELINE-config-3-sized
     problem (20 cameras, 8192 landmarks, 16 obs slots), via iteration-count
-    differencing (t(2n)-t(n))/n so compile/dispatch/fetch cancel. The
-    completed form of the reference's BA stub (src/optimzer.cpp:1-9).
+    differencing (t(2n)-t(n))/n so compile/dispatch/fetch cancel. Both Schur
+    assemblies are raced (one-hot matmul vs blocked scatter-add — the r03
+    optimization, optimizer/ba.py) and the winner is reported as the
+    headline. The completed form of the reference's BA stub
+    (src/optimzer.cpp:1-9).
+  * measured — a per-stage breakdown of one LM iteration (GN+Schur assembly,
+    dense camera solve, landmark back-substitution, cost evaluation) under
+    the same differencing harness, so the scaling model's split into
+    landmark-parallel vs replicated work is measured, not assumed.
   * measured — sharded-solver parity: solve_sharded on a 1/2/4/8-device
     virtual CPU mesh reproduces the single-device camera solution (the same
     check the test suite runs; this host has 2 cores, so virtual-mesh WALL
     CLOCK is meaningless and is not reported as scaling).
-  * modeled — multi-chip scaling efficiency. Per LM iteration the only
-    cross-device traffic is one psum of the reduced camera system
-    (C,6,6)+(C,6) f32 (parallel/sharded_ba.py): camera-sized, independent
-    of landmark count. Efficiency = T_comp / (T_comp + T_comm + T_solve)
-    where T_comp scales 1/n (landmark elimination), the dense (6C)^2 solve
-    replicates, and T_comm uses v5e ICI ~45 GB/s x 2 links full-duplex.
+  * modeled — multi-chip scaling efficiency, from the measured breakdown.
+    Per LM iteration the landmark-parallel fraction (Schur assembly, back-
+    sub, cost — everything indexed by the sharded point axis) divides by n;
+    the replicated fraction (dense (6C)^2 solve + LM epilogue) does not; the
+    psum of the reduced system (C,C,6,6)+(C,6) f32 rides ICI at ~45 GB/s x 2
+    links. Efficiency(n) = T(1) / (n * T(n)). The round-2 model divided the
+    WHOLE iteration by n and then re-added the solve for n>1 only — biased
+    toward 1.0 (VERDICT r02 weak #3); this split fixes that.
 """
 from __future__ import annotations
 
@@ -95,9 +104,8 @@ def make_problem(n_cams=20, n_pts=8192, k_obs=16, noise_px=0.5, seed=0):
     return problem, K
 
 
-def measure_iters_per_sec(problem, K, base_iters=8):
+def measure_iters_per_sec(problem, K, assembly, base_iters=8):
     """Device seconds per LM iteration via iteration-count differencing."""
-    import dataclasses
     import jax.numpy as jnp
     from vslam_tpu.config import BAConfig
     from vslam_tpu.optimizer import ba
@@ -105,7 +113,7 @@ def measure_iters_per_sec(problem, K, base_iters=8):
     Kj = jnp.asarray(K)
 
     def run(iters, seed):
-        cfg = BAConfig(iterations=iters)
+        cfg = BAConfig(iterations=iters, schur_assembly=assembly)
         # perturb so the transport's identical-execution replay cache misses
         p = problem.replace(points=problem.points + seed * 1e-6)
         out, stats = ba.solve(p, Kj, cfg)
@@ -123,6 +131,70 @@ def measure_iters_per_sec(problem, K, base_iters=8):
     per_iter = max(t_2n - t_n, 1e-9) / base_iters
     stats = run(2 * base_iters, 3)
     return per_iter, stats
+
+
+def measure_breakdown(problem, K, assembly):
+    """Per-stage device ms of one LM iteration (scan-differencing harness).
+
+    Splits the iteration into the landmark-parallel stages (divide by n
+    under point-axis sharding) and the replicated stage (dense camera
+    solve), feeding the corrected scaling model.
+    """
+    import jax
+    import jax.numpy as jnp
+    from vslam_tpu.config import BAConfig
+    from vslam_tpu.optimizer import ba
+    from vslam_tpu.ops.bench_kernels import _device_time
+
+    Kj = jnp.asarray(K)
+    cfg = BAConfig(schur_assembly=assembly)
+    lam = jnp.float32(1e-3)
+    eps = lambda i: i.astype(jnp.float32) * 1e-7
+
+    def gn_schur(i):
+        r, w, J_c, J_p, _ = ba._gn_quantities(
+            problem.T_cw, problem.points + eps(i), problem, Kj,
+            cfg.huber_delta)
+        S, b, Hpp_inv, b_p, W_blk = ba._schur_reduce(
+            r, w, J_c, J_p, problem, lam, assembly=assembly)
+        return (S, b)
+
+    # fixed pieces for the downstream stages
+    r, w, J_c, J_p, _ = ba._gn_quantities(
+        problem.T_cw, problem.points, problem, Kj, cfg.huber_delta)
+    S, b, Hpp_inv, b_p, W_blk = jax.jit(
+        lambda: ba._schur_reduce(r, w, J_c, J_p, problem, lam,
+                                 assembly=assembly))()
+    _fetch(S)
+    C6 = S.shape[0]
+
+    def dense_solve(i):
+        bb = b + eps(i)
+        L, low = jax.scipy.linalg.cho_factor(
+            S + (1e-6 * jnp.trace(S) / C6) * jnp.eye(C6, dtype=S.dtype),
+            lower=True)
+        return jax.scipy.linalg.cho_solve((L, low), bb)
+
+    dx_cam = jax.jit(dense_solve)(jnp.uint32(0))
+    _fetch(dx_cam)
+
+    def backsub(i):
+        return ba._backsub(dx_cam + eps(i), Hpp_inv, b_p, W_blk, problem)
+
+    def cost(i):
+        p = problem.replace(points=problem.points + eps(i))
+        return ba.compute_cost(p, Kj, cfg.huber_delta)
+
+    stages = [("gn+schur_assembly", gn_schur, "parallel", 16),
+              ("dense_camera_solve", dense_solve, "replicated", 64),
+              ("landmark_backsub", backsub, "parallel", 64),
+              ("cost_eval", cost, "parallel", 64)]
+    out = []
+    for name, fn, kind, n_iter in stages:
+        ms = _device_time(fn, n_iter)
+        out.append({"stage": name, "ms": round(ms, 4), "kind": kind})
+        print(f"ba stage [{assembly}] {name:22s} {ms:8.3f} ms  ({kind})")
+    return out
 
 
 def parity_cpu_mesh(problem, K):
@@ -149,22 +221,30 @@ def parity_cpu_mesh(problem, K):
     return {"single_final_cost": float(ref_stats.final_cost), "parity": rows}
 
 
-def scaling_model(per_iter_s, n_cams, n_pts, k_obs):
-    """Strong-scaling efficiency model for the landmark-sharded solver."""
-    C6 = 6 * n_cams
-    psum_bytes = (n_cams * n_cams * 36 + C6) * 4.0
-    # replicated work per iteration: dense cholesky of (6C)^2 — measured
-    # fraction is tiny at C=20; estimate as flops/chip-peak
-    t_solve = (C6 ** 3 / 3) / 10e12
+def scaling_model(breakdown, n_cams):
+    """Strong-scaling efficiency from the MEASURED stage split.
+
+    T(n) = T_parallel / n + T_replicated + T_psum(n>1); the landmark-
+    parallel fraction is the measured sum of point-axis stages, the
+    replicated fraction is the measured dense solve (plus nothing else —
+    the LM epilogue is element-wise on (C,) state, negligible and also
+    replicated). Efficiency = T(1) / (n * T(n)).
+    """
+    t_par = sum(s["ms"] for s in breakdown if s["kind"] == "parallel") / 1e3
+    t_rep = sum(s["ms"] for s in breakdown if s["kind"] == "replicated") / 1e3
+    psum_bytes = (n_cams * n_cams * 36 + 6 * n_cams) * 4.0
     t_comm = PSUM_HOPS * psum_bytes / ICI_BYTES_PER_S
+    t1 = t_par + t_rep
     rows = []
     for n in (1, 2, 4, 8, 16):
-        t_comp = per_iter_s / n
-        t_total = t_comp + (0 if n == 1 else t_comm) + (0 if n == 1 else t_solve)
-        eff = per_iter_s / n / t_total
-        rows.append({"devices": n, "modeled_iters_per_sec": 1.0 / t_total,
-                     "modeled_efficiency": round(eff, 4)})
-    return {"psum_bytes_per_iter": psum_bytes,
+        t_n = t_par / n + t_rep + (t_comm if n > 1 else 0.0)
+        rows.append({"devices": n,
+                     "modeled_iters_per_sec": round(1.0 / t_n, 2),
+                     "modeled_efficiency": round(t1 / (n * t_n), 4)})
+    return {"measured_parallel_s": round(t_par, 6),
+            "measured_replicated_s": round(t_rep, 6),
+            "psum_bytes_per_iter": psum_bytes,
+            "psum_s": t_comm,
             "ici_bytes_per_sec": ICI_BYTES_PER_S, "rows": rows}
 
 
@@ -172,7 +252,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="virtual-mesh parity instead of chip timing")
-    ap.add_argument("--out", default="BENCH_BA_r02.json")
+    ap.add_argument("--out", default="BENCH_BA_r03.json")
     args = ap.parse_args()
 
     import jax
@@ -191,15 +271,26 @@ def main():
         result["cpu_mesh_parity"] = parity_cpu_mesh(problem, K)
         path = args.out.replace(".json", "_parity.json")
     else:
-        per_iter, stats = measure_iters_per_sec(problem, K)
-        result["single_chip"] = {
-            "sec_per_lm_iteration": round(per_iter, 6),
-            "lm_iterations_per_sec": round(1.0 / per_iter, 2),
-            "initial_cost": float(stats.initial_cost),
-            "final_cost": float(stats.final_cost),
-            "accepted_steps": int(np.asarray(stats.accepted).sum()),
-        }
-        result["scaling_model"] = scaling_model(per_iter, n_cams, n_pts, k_obs)
+        race = {}
+        for assembly in ("scatter", "onehot"):
+            per_iter, stats = measure_iters_per_sec(problem, K, assembly)
+            race[assembly] = {
+                "sec_per_lm_iteration": round(per_iter, 6),
+                "lm_iterations_per_sec": round(1.0 / per_iter, 2),
+                "initial_cost": float(stats.initial_cost),
+                "final_cost": float(stats.final_cost),
+                "accepted_steps": int(np.asarray(stats.accepted).sum()),
+            }
+            print(f"assembly={assembly}: {per_iter * 1e3:.2f} ms/LM-iter "
+                  f"({1.0 / per_iter:.1f} it/s)")
+        result["assembly_race"] = race
+        winner = min(race, key=lambda a: race[a]["sec_per_lm_iteration"])
+        result["single_chip"] = dict(race[winner], assembly=winner)
+        result["speedup_vs_scatter"] = round(
+            race["scatter"]["sec_per_lm_iteration"]
+            / race[winner]["sec_per_lm_iteration"], 2)
+        result["breakdown"] = measure_breakdown(problem, K, winner)
+        result["scaling_model"] = scaling_model(result["breakdown"], n_cams)
         path = args.out
     with open(path, "w") as f:
         json.dump(result, f, indent=2)

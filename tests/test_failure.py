@@ -7,8 +7,10 @@ frame, reference src/Frame.cpp:56, and has no persistence at all):
     is SIGKILLed between periodic checkpoints; the parent resumes from the
     last complete checkpoint and must land bit-close to an uninterrupted run.
   * sensor dropout: a run of black frames mid-sequence. Tracking must report
-    failure (constant-velocity fallback, tracker.py:163), never NaN, and
-    re-acquire within a few frames after imagery returns.
+    failure, extrapolate the pose with the constant-velocity motion model
+    (TrackerState.vel), never NaN, re-acquire within a few frames after
+    imagery returns (map-based relocalization, geometry/pnp.py), and drift
+    strictly less than a hold-pose fallback would.
 """
 import json
 import os
@@ -155,6 +157,50 @@ class TestSensorDropout:
         assert any(i["success"] for i in infos[9:12]), infos[9:12]
         assert post[-1]["success"]
         assert all(np.isfinite(p).all() for p in s.poses())
+
+    def test_blackout_extrapolates_not_holds(self):
+        """Constant-velocity is real motion, not hold-pose: during a blackout
+        the pose keeps advancing at roughly the pre-blackout step, and the
+        end-of-blackout position error vs ground truth is strictly smaller
+        than the error a frozen (hold-pose) fallback would leave."""
+        frames, gt = _frames(14, seed=5)
+        frames = [np.asarray(f) for f in frames]
+        for i in (6, 7, 8):
+            frames[i] = np.zeros_like(frames[i])
+
+        s = slam.SLAMSystem(CFG, seed=3)
+        infos = [s.process(f) for f in frames]
+        poses = s.poses()
+        est_pos = poses[:, :3, 3]
+        gt_pos = gt[:, :3, 3]
+
+        # the blackout frames keep moving (hold-pose would freeze them)
+        step_pre = np.linalg.norm(est_pos[5] - est_pos[4])
+        for i in (6, 7, 8):
+            step = np.linalg.norm(est_pos[i] - est_pos[i - 1])
+            assert step > 0.4 * step_pre, (i, step, step_pre)
+
+        # scale-align on the clean prefix (monocular scale is only defined
+        # up to the first baseline), then compare end-of-blackout drift
+        # against what holding the frame-5 pose would have left.
+        ln = lambda p: np.linalg.norm(np.diff(p, axis=0), axis=1).sum()
+        scl = ln(gt_pos[:6]) / max(ln(est_pos[:6]), 1e-9)
+        err_extrap = np.linalg.norm(scl * est_pos[8] - gt_pos[8])
+        err_hold = np.linalg.norm(scl * est_pos[5] - gt_pos[8])
+        assert err_extrap < 0.7 * err_hold, (err_extrap, err_hold)
+
+    def test_relocalization_reacquires_on_first_real_frame(self):
+        """After the blackout, frame-to-frame matching has nothing to match
+        against (the previous frame was black) — yet the map survived, so
+        pose-only PnP on extrapolated-pose associations must re-anchor on the
+        FIRST real frame, not after a second frame-pair."""
+        frames, _ = _frames(14, seed=5)
+        frames = [np.asarray(f) for f in frames]
+        for i in (6, 7, 8):
+            frames[i] = np.zeros_like(frames[i])
+        s = slam.SLAMSystem(CFG, seed=3)
+        infos = [s.process(f) for f in frames]
+        assert infos[9]["success"], infos[9]
 
     def test_severe_blur_never_nan(self):
         """Heavy blur (low-texture): success may drop, outputs stay finite."""

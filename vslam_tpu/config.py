@@ -84,7 +84,8 @@ class MatchingConfig:
     #   "pallas"   — fused XOR+popcount VPU kernel (ops/pallas_hamming.py);
     #                requires N1, N2 multiples of 256
     #   "popcount" — naive lax.population_count over the packed words
-    # Default set by the on-chip race in ops/bench_kernels.py (KERNELS_r02.md).
+    # Default set by the on-chip race in ops/bench_kernels.py (KERNELS_r03.md:
+    # matmul 0.028 ms vs pallas 0.203 ms vs popcount 0.141 ms at 3072x3072).
     kernel: str = "matmul"
 
 
@@ -119,11 +120,14 @@ class MapConfig:
                                      # src/PointMap.h:15-16; we keep a rolling K)
     block_size: int = 4096           # shard/scan granularity for association
     # Search-by-projection kernel:
+    #   "xla"    — blocked lax.scan of int8 MXU matmuls (point_map.associate).
+    #              Default per the on-chip race in KERNELS_r03.md: 3.4 ms vs
+    #              pallas 9.1 ms at map=131072 (61.9% of int8 peak) — XLA's
+    #              fused matmul pipeline beats the hand-tiled VPU kernel at
+    #              every measured map size.
     #   "pallas" — fused VMEM-resident kernel (ops/pallas_associate.py): the
-    #              (block, keypoints) tile never exists in HBM. Default per
-    #              the on-chip race in KERNELS_r02.md.
-    #   "xla"    — blocked lax.scan of int8 MXU matmuls (point_map.associate)
-    kernel: str = "pallas"
+    #              (block, keypoints) tile never exists in HBM.
+    kernel: str = "xla"
 
 
 @dataclass(frozen=True)
@@ -138,6 +142,14 @@ class BAConfig:
     damping_up: float = 4.0
     damping_down: float = 0.5
     huber_delta: float = 2.0         # robust loss on reprojection residual (px)
+    # How the reduced camera system is assembled (optimizer/ba.py):
+    #   "auto"    — one-hot matmul assembly up to 64 cameras (window BA; no
+    #               scatters, MXU-only — the measured ~40x win on the
+    #               BASELINE-config-3 problem, KERNELS_r03.md), blocked
+    #               scatter-add beyond (global BA: one-hot cost grows as C^2)
+    #   "onehot" | "scatter" — force one
+    schur_assembly: str = "auto"
+    onehot_max_cams: int = 64
 
 
 @dataclass(frozen=True)

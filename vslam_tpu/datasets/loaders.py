@@ -118,23 +118,53 @@ class KittiOdometry:
 
 
 class TumRgbdMono:
-    """TUM RGB-D sequence, RGB stream only (monocular)."""
+    """TUM RGB-D sequence, RGB stream only (monocular).
 
-    # fr1 default intrinsics + radial-tangential distortion (k1,k2,p1,p2,k3)
-    # from the TUM RGB-D calibration page. fr1 has strong radial distortion;
-    # tracking on raw pixels degrades ATE (VERDICT r01 weak #8), so frames
-    # are undistorted to the pinhole model before use.
-    DEFAULT_INTRINSICS = (517.3, 516.5, 318.6, 255.3)
-    DEFAULT_DISTORTION = (0.2624, -0.9531, -0.0054, 0.0026, 1.1633)
+    Calibration is selected PER VARIANT from the sequence path — the three
+    Freiburg Kinects have different intrinsics and distortion (fr1 strongly
+    radial; fr3's released images are pre-rectified), so applying fr1
+    calibration to an fr2/fr3 sequence silently degrades ATE. Explicit
+    ``intrinsics``/``distortion`` arguments override detection.
+    Values from the TUM RGB-D benchmark camera-calibration page
+    (ROS default / OpenCV model, (fx, fy, cx, cy) + (k1, k2, p1, p2, k3)).
+    """
+
+    CALIBRATIONS = {
+        "fr1": ((517.3, 516.5, 318.6, 255.3),
+                (0.2624, -0.9531, -0.0054, 0.0026, 1.1633)),
+        "fr2": ((520.9, 521.0, 325.1, 249.7),
+                (0.2312, -0.7849, -0.0033, -0.0001, 0.9172)),
+        "fr3": ((535.4, 539.2, 320.1, 247.6), None),  # released rectified
+    }
+    # kept for backward compatibility: the fr1 values
+    DEFAULT_INTRINSICS = CALIBRATIONS["fr1"][0]
+    DEFAULT_DISTORTION = CALIBRATIONS["fr1"][1]
+
+    @classmethod
+    def detect_variant(cls, root: str) -> str:
+        """fr1/fr2/fr3 from the sequence directory name (TUM names sequences
+        ``rgbd_dataset_freiburg<N>_<motion>``); fr1 when unrecognizable."""
+        name = os.path.basename(os.path.normpath(root)).lower()
+        for variant, tag in (("fr1", "freiburg1"), ("fr2", "freiburg2"),
+                             ("fr3", "freiburg3")):
+            if tag in name or f"fr{variant[-1]}_" in name \
+                    or name.startswith(variant):
+                return variant
+        return "fr1"
 
     def __init__(self, root: str, target: Optional[Tuple[int, int]] = None,
                  intrinsics: Optional[Tuple[float, float, float, float]] = None,
                  distortion: Optional[Tuple[float, ...]] = "default"):
         self.root = root
+        self.variant = self.detect_variant(root)
+        cal_K, cal_dist = self.CALIBRATIONS[self.variant]
         if distortion == "default":
-            # default coefficients belong to the default (fr1) intrinsics
-            distortion = self.DEFAULT_DISTORTION if intrinsics is None else None
+            # default coefficients belong to the detected variant's
+            # intrinsics; explicit intrinsics invalidate them
+            distortion = cal_dist if intrinsics is None else None
         self.distortion = distortion
+        if intrinsics is None:
+            intrinsics = cal_K
         rgb_txt = os.path.join(root, "rgb.txt")
         if not os.path.exists(rgb_txt):
             raise FileNotFoundError(rgb_txt)
@@ -146,7 +176,7 @@ class TumRgbdMono:
                     continue
                 ts, rel = line.split()[:2]
                 self.entries.append((float(ts), rel))
-        fx, fy, cx, cy = intrinsics or self.DEFAULT_INTRINSICS
+        fx, fy, cx, cy = intrinsics
         w, h = 640, 480
         # undistortion happens at native resolution with the native K
         self._native_K = (fx, fy, cx, cy)

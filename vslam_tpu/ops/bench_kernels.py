@@ -3,8 +3,8 @@
 Run on a TPU:  python -m vslam_tpu.ops.bench_kernels
 Prints ms per call and achieved fraction of the relevant roofline
 (speed-of-light analysis per SURVEY.md §5 tracing notes). The committed
-output of this race lives in KERNELS_r02.md and sets the config defaults
-(MatchingConfig.kernel).
+output of this race lives in KERNELS_r03.md and sets the config defaults
+(MatchingConfig.kernel, MapConfig.kernel).
 
 Measured:
   * Hamming (N1,N2) over 256-bit descriptors: MXU int8 bit-plane matmul
@@ -136,7 +136,10 @@ def bench_hamming(n1=3072, n2=3072, n_iter=512):
 
 
 def bench_associate(map_sizes=(4096, 51200, 131072), n_kp=3072, n_iter=32):
-    """Search-by-projection cost vs live map size (the scaling hot path)."""
+    """Search-by-projection cost vs live map size (the scaling hot path),
+    racing both kernel dispatches (MapConfig.kernel = "xla" | "pallas")."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from ..config import VSLAMConfig
@@ -164,20 +167,41 @@ def bench_associate(map_sizes=(4096, 51200, 131072), n_kp=3072, n_iter=32):
         kd = jax.random.bits(k4, (n_kp, 8), jnp.uint32)
         _fetch(m.size)
 
-        fn_i = lambda i: point_map.associate(
-            m, P, uv + (i % 7).astype(jnp.float32) * 0.1, kd ^ i,
-            jnp.ones(n_kp, bool), cfg.map, cfg.matching, W, H)
-        t = _device_time(fn_i, n_iter)
         # int8 MAC count of the Hamming matmuls actually executed
         # (blocks past the cursor are skipped by lax.cond)
         n_blocks = -(-ms_pts // cfg.map.block_size)
         ops = 2.0 * n_blocks * cfg.map.block_size * n_kp * 256 \
             * cfg.map.obs_per_point
-        frac = ops / (t / 1e3) / INT8_PEAK_OPS
-        rows.append((ms_pts, t, frac))
-        print(f"associate map={ms_pts:7d} {t:8.3f} ms   "
-              f"{frac * 100:5.1f}% of int8 peak "
-              f"({n_blocks} blocks x K={cfg.map.obs_per_point})")
+        oracle = None
+        for kern in ("pallas", "xla"):
+            mcfg = dataclasses.replace(cfg.map, kernel=kern)
+            fn_i = lambda i: point_map.associate(
+                m, P, uv + (i % 7).astype(jnp.float32) * 0.1, kd ^ i,
+                jnp.ones(n_kp, bool), mcfg, cfg.matching, W, H)
+            try:
+                t = _device_time(fn_i, n_iter)
+                frac = ops / (t / 1e3) / INT8_PEAK_OPS
+                rows.append((ms_pts, kern, t, frac))
+                print(f"associate map={ms_pts:7d} [{kern:6s}] {t:8.3f} ms   "
+                      f"{frac * 100:5.1f}% of int8 peak "
+                      f"({n_blocks} blocks x K={cfg.map.obs_per_point})")
+            except Exception as e:
+                rows.append((ms_pts, kern, float("inf"), 0.0))
+                print(f"associate map={ms_pts:7d} [{kern:6s}] FAILED: "
+                      f"{type(e).__name__}: {e}")
+                continue
+            # agreement: both kernels must pick identical associations
+            res = jax.jit(
+                lambda: point_map.associate(m, P, uv, kd,
+                                            jnp.ones(n_kp, bool), mcfg,
+                                            cfg.matching, W, H))()
+            pid = np.asarray(res.point_id)
+            if oracle is None:
+                oracle = pid
+            else:
+                agree = (oracle == pid).mean()
+                print(f"associate map={ms_pts:7d} agreement pallas==xla: "
+                      f"{agree * 100:.2f}%")
     return rows
 
 

@@ -6,7 +6,7 @@ triangulation, search-by-projection association, map insert) in isolation
 under the scan-differencing harness of ops/bench_kernels (see that module's
 docstring for why: fetch barriers, on-device inputs, replay-cache dodging),
 then the full fused ``track_step``. The committed output lives in
-KERNELS_r02.md.
+KERNELS_r03.md.
 
 Every stage folds the loop index into its inputs so XLA cannot hoist the
 body out of the timing scan (loop-invariant code motion).

@@ -2,10 +2,13 @@
 
 The map-association hot path (mapping/point_map.associate — the TPU rebuild
 of the reference's projection loop, src/vslam.cpp:129-161) is, in its XLA
-form, a scan over map blocks where every block materializes (B, N) pixel-gate
-and Hamming-distance intermediates in HBM. Measured on one v5e chip those
-(B, N) round-trips dominate: ~290 us/block while the block's int8 matmul is
-~16 us — the stage is bandwidth-bound at ~20% MXU utilization.
+form, a scan over map blocks that materializes (B, N) pixel-gate and
+Hamming-distance intermediates in HBM; this kernel keeps the whole per-block
+pipeline in VMEM instead. The round-3 on-chip race (KERNELS_r03.md) found
+XLA's pipeline has caught up: the XLA path now wins at every measured map
+size (3.4 ms vs 9.1 ms here at map=131072, 62% vs 23% of int8 peak), so
+``MapConfig.kernel`` defaults to "xla" and this kernel remains the
+selectable alternative (bit-identical results, 100% agreement in the race).
 
 This kernel fuses the whole per-block pipeline in VMEM:
 

@@ -11,7 +11,9 @@ This is the VPU-integer counterpart of the MXU bit-plane matmul in
 matching/hamming.py (d = |a| + |b| - 2 a·b over int8 planes); both are
 exact. ``matcher.match`` dispatches on ``MatchingConfig.kernel``
 ("matmul" | "pallas" | "popcount"); ops/bench_kernels.py races the three on
-hardware and the measured winner is the config default (KERNELS_r02.md).
+hardware and the measured winner is the config default (KERNELS_r03.md:
+the MXU matmul wins — 0.028 ms vs 0.203 ms here at 3072x3072, bit-exact
+agreement; this kernel ran compiled on-chip in that race).
 """
 from __future__ import annotations
 

@@ -177,7 +177,8 @@ def _gn_quantities(T_cw, points, problem: BAProblem, K_intr, huber_delta):
 
 
 def _schur_reduce(r, w, J_c, J_p, problem: BAProblem, lam, block: int = 512,
-                  axis_name: str | None = None):
+                  axis_name: str | None = None,
+                  assembly: str = "onehot"):
     """Build the reduced camera system.
 
     When ``axis_name`` is set, the point axis is assumed sharded across that
@@ -185,6 +186,16 @@ def _schur_reduce(r, w, J_c, J_p, problem: BAProblem, lam, block: int = 512,
     device holds the full reduced system — the Schur-complement collective
     pattern of SURVEY.md §5 (per-shard landmark elimination, camera-block
     Hessian reduction over ICI).
+
+    ``assembly`` picks how camera-indexed reductions are built:
+      * "onehot"  — everything is dense matmuls against a (P, K, C) one-hot
+        camera-incidence tensor: S = H_cc - A·Bᵀ with A = Σ_k E·(W·Hpp⁻¹),
+        B = Σ_k E·W contracted per point. All MXU work, no scatters; cost
+        scales with C² but at C≲64 (window BA) it is ~100x faster on TPU
+        than scatter-adding P·K² 6x6 blocks (XLA lowers colliding scatters
+        to a serial loop). Measured race committed in KERNELS_r03.md.
+      * "scatter" — the original blocked scatter-add; cost independent of
+        C, used for very large global problems (run_global_ba switches).
 
     Returns S (6C, 6C), b (6C,), plus landmark back-sub data
     (Hpp_inv (P,3,3), b_p (P,3)) — local to the shard.
@@ -201,48 +212,62 @@ def _schur_reduce(r, w, J_c, J_p, problem: BAProblem, lam, block: int = 512,
         * jnp.maximum(jnp.einsum("pii->p", H_pp), 1e-6)[:, None, None] / 3.0
     Hpp_inv = _inv3x3(H_pp)
 
-    # Camera blocks (scatter over flat obs)
+    # Camera blocks
     H_cc_blk = jnp.einsum("pkri,pkrj->pkij", wJc, J_c)  # (P, K, 6, 6)
     b_c_blk = -jnp.einsum("pkri,pkr->pki", wJc, r)      # (P, K, 6)
     W_blk = jnp.einsum("pkri,pkrj->pkij", wJc, J_p)     # (P, K, 6, 3)
 
-    flat_cam = jnp.where(w > 0, problem.obs_cam, C).reshape(-1)  # C -> drop
-    H_cc = jnp.zeros((C, 6, 6), r.dtype).at[flat_cam].add(
-        H_cc_blk.reshape(-1, 6, 6), mode="drop"
-    )
-    b_c = jnp.zeros((C, 6), r.dtype).at[flat_cam].add(
-        b_c_blk.reshape(-1, 6), mode="drop"
-    )
-
-    # Schur terms, scanned over point blocks to bound memory:
     #   S -= W_k G W_l^T  at (cam_k, cam_l);   b_c -= W_k G b_p
     M_blk_all = jnp.einsum("pkij,pjl->pkil", W_blk, Hpp_inv)   # (P, K, 6, 3)
     b_corr = jnp.einsum("pkij,pj->pki", M_blk_all, b_p)        # (P, K, 6)
-    b_c = b_c.at[flat_cam].add(-b_corr.reshape(-1, 6), mode="drop")
 
-    # Pick the largest block size <= `block` that divides P exactly
-    # (dynamic_slice clamps at the end, which would double-count rows).
-    block = min(block, P)
-    while P % block != 0:
-        block -= 1
-    n_blocks = P // block
+    if assembly == "onehot":
+        # camera incidence as a dense one-hot: E[p,k,c] = obs k of point p
+        # sees camera c (and carries weight). Every camera-indexed reduction
+        # becomes a matmul over the (p, k) axes — MXU work, zero scatters.
+        E = ((problem.obs_cam[..., None] == jnp.arange(C)[None, None, :])
+             & (w > 0)[..., None]).astype(r.dtype)             # (P, K, C)
+        H_cc = jnp.einsum("pkc,pkij->cij", E, H_cc_blk)        # (C, 6, 6)
+        b_c = jnp.einsum("pkc,pki->ci", E, b_c_blk - b_corr)   # (C, 6)
+        # per-point camera-aggregated factors; S = H_cc - Σ_p A_p B_pᵀ
+        A = jnp.einsum("pkc,pkim->pcim", E, M_blk_all)         # (P, C, 6, 3)
+        Bm = jnp.einsum("pkc,pkim->pcim", E, W_blk)            # (P, C, 6, 3)
+        S = -jnp.einsum("pcim,pdjm->cdij", A, Bm)              # (C, C, 6, 6)
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(H_cc)
+    else:
+        flat_cam = jnp.where(w > 0, problem.obs_cam, C).reshape(-1)  # C->drop
+        H_cc = jnp.zeros((C, 6, 6), r.dtype).at[flat_cam].add(
+            H_cc_blk.reshape(-1, 6, 6), mode="drop"
+        )
+        b_c = jnp.zeros((C, 6), r.dtype).at[flat_cam].add(
+            (b_c_blk - b_corr).reshape(-1, 6), mode="drop"
+        )
 
-    def body(S, i):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * block, block, axis=0)
-        M = sl(M_blk_all)                                       # (B, K, 6, 3)
-        Wb = sl(W_blk)                                          # (B, K, 6, 3)
-        cams = sl(jnp.where(w > 0, problem.obs_cam, C))         # (B, K)
-        Bkl = jnp.einsum("pkij,pljm->pklim", M, jnp.swapaxes(Wb, -1, -2))
-        # Bkl: (B, K, K, 6, 6); scatter-add at (cams[k], cams[l])
-        ck = jnp.broadcast_to(cams[:, :, None], Bkl.shape[:3]).reshape(-1)
-        cl = jnp.broadcast_to(cams[:, None, :], Bkl.shape[:3]).reshape(-1)
-        S = S.at[ck, cl].add(-Bkl.reshape(-1, 6, 6), mode="drop")
-        return S, None
+        # Schur terms, scanned over point blocks to bound memory. Pick the
+        # largest block size <= `block` that divides P exactly
+        # (dynamic_slice clamps at the end, which would double-count rows).
+        block = min(block, P)
+        while P % block != 0:
+            block -= 1
+        n_blocks = P // block
 
-    S0 = jnp.zeros((C + 1, C + 1, 6, 6), r.dtype)
-    S0 = S0.at[jnp.arange(C), jnp.arange(C)].add(H_cc)
-    S, _ = jax.lax.scan(body, S0, jnp.arange(n_blocks))
-    S = S[:C, :C]                                               # (C, C, 6, 6)
+        def body(S, i):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * block, block,
+                                                        axis=0)
+            M = sl(M_blk_all)                                   # (B, K, 6, 3)
+            Wb = sl(W_blk)                                      # (B, K, 6, 3)
+            cams = sl(jnp.where(w > 0, problem.obs_cam, C))     # (B, K)
+            Bkl = jnp.einsum("pkij,pljm->pklim", M, jnp.swapaxes(Wb, -1, -2))
+            # Bkl: (B, K, K, 6, 6); scatter-add at (cams[k], cams[l])
+            ck = jnp.broadcast_to(cams[:, :, None], Bkl.shape[:3]).reshape(-1)
+            cl = jnp.broadcast_to(cams[:, None, :], Bkl.shape[:3]).reshape(-1)
+            S = S.at[ck, cl].add(-Bkl.reshape(-1, 6, 6), mode="drop")
+            return S, None
+
+        S0 = jnp.zeros((C + 1, C + 1, 6, 6), r.dtype)
+        S0 = S0.at[jnp.arange(C), jnp.arange(C)].add(H_cc)
+        S, _ = jax.lax.scan(body, S0, jnp.arange(n_blocks))
+        S = S[:C, :C]                                           # (C, C, 6, 6)
 
     if axis_name is not None:
         # point axis is sharded: reduce the camera-side system over the mesh
@@ -285,6 +310,11 @@ def _solve_impl(problem: BAProblem, K_intr, cfg: BAConfig,
     (call from inside shard_map; see parallel/sharded_ba.py)."""
     K_intr = jnp.asarray(K_intr, jnp.float32)
 
+    assembly = cfg.schur_assembly
+    if assembly == "auto":
+        assembly = ("onehot" if problem.num_cams <= cfg.onehot_max_cams
+                    else "scatter")
+
     def cost_of(T_cw, points):
         p = problem.replace(T_cw=T_cw, points=points)
         return compute_cost(p, K_intr, cfg.huber_delta, axis_name)
@@ -297,7 +327,8 @@ def _solve_impl(problem: BAProblem, K_intr, cfg: BAConfig,
             T_cw, points, problem, K_intr, cfg.huber_delta
         )
         S, b, Hpp_inv, b_p, W_blk = _schur_reduce(
-            r, w, J_c, J_p, problem, lam, axis_name=axis_name
+            r, w, J_c, J_p, problem, lam, axis_name=axis_name,
+            assembly=assembly,
         )
         # dense solve with jitter
         C6 = S.shape[0]

@@ -31,7 +31,7 @@ from ..core import camera as cam
 from ..core import lie
 from ..core.types import FrameFeatures, MapState, empty_features, empty_map
 from ..frontend.frame import extract_features
-from ..geometry import epipolar, ransac, triangulation
+from ..geometry import pnp, ransac, triangulation
 from ..mapping import point_map
 from ..matching import matcher
 
@@ -46,6 +46,10 @@ class TrackerState:
     scale: jnp.ndarray         # () f32 — running translation scale estimate
     key: jnp.ndarray           # PRNG key; per-frame keys fold in frame_idx
                                # inside the jit (no host-side split dispatch)
+    vel: jnp.ndarray           # (4, 4) last successful relative motion
+                               # T_{t-1 -> t} (world-chained); the
+                               # constant-velocity motion model used to
+                               # extrapolate through tracking failures
 
 
 class TrackOutput(NamedTuple):
@@ -79,6 +83,7 @@ def init_state(cfg: VSLAMConfig, seed: int = 0) -> TrackerState:
         frame_idx=jnp.zeros((), jnp.int32),
         scale=jnp.ones((), jnp.float32),
         key=jax.random.PRNGKey(seed),
+        vel=jnp.eye(4, dtype=jnp.float32),
     )
 
 
@@ -156,11 +161,14 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
     # First tracked pair defines world scale = 1.
     scale = jnp.where(state.frame_idx <= 1, 1.0, scale)
 
-    # 5. pose chain (reference src/vslam.cpp:88, made convention-correct) --
+    # 5. pose chain (reference src/vslam.cpp:88, made convention-correct).
+    # On failure: TRUE constant-velocity — extrapolate the last successful
+    # relative motion (the reference crashes; holding the pose would park the
+    # camera and blow up re-acquisition error after a blackout).
     T_c2c1 = lie.make_T(R, scale * t_unit)     # cam1 coords -> cam2 coords
     T_c1c2 = lie.inv_T(T_c2c1)                 # relative motion
     new_pose = state.pose @ T_c1c2
-    new_pose = jnp.where(pose_ok, new_pose, state.pose @ _constant_velocity())
+    new_pose = jnp.where(pose_ok, new_pose, state.pose @ state.vel)
 
     # 6. map-id propagation along matches (reference src/vslam.cpp:111-118)
     prop_src = jnp.where(m_valid & (pid_prev >= 0), pid_prev, -1)
@@ -172,14 +180,31 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
         state.map, map_id2, feats.desc, map_id2 >= 0, state.frame_idx
     )
 
-    # 7. search-by-projection association (reference src/vslam.cpp:129-161)
+    # 7. search-by-projection association (reference src/vslam.cpp:129-161).
+    # On a failed frame-to-frame pose, ``new_pose`` is the constant-velocity
+    # extrapolation — the association below doubles as the relocalization
+    # candidate search.
     P2 = cam.projection_matrix(K, new_pose)
     kp_free = feats.mask & (map_id2 < 0)
     assoc = point_map.associate(
         new_map, P2, feats.uv, feats.desc, kp_free,
         cfg.map, cfg.matching, W, H,
     )
-    assoc_ok = (assoc.point_id >= 0) & pose_ok
+
+    # 7b. map-based relocalization: when RANSAC failed (blackout recovery,
+    # low-texture frame), re-anchor the camera by pose-only GN on the
+    # landmarks the extrapolated pose associated (geometry/pnp.py). The
+    # reference has no recovery path at all (SURVEY.md §5).
+    assoc_found = assoc.point_id >= 0
+    X_assoc = new_map.xyz[jnp.clip(assoc.point_id, 0, new_map.capacity - 1)]
+    pr = pnp.refine_pose(lie.inv_T(new_pose), X_assoc, feats.uv,
+                         assoc_found, K, iters=8,
+                         inlier_px=cfg.triangulation.reproj_threshold_sq ** 0.5 * 1.5)
+    reloc_ok = (~pose_ok) & (pr.num_inliers >= cfg.ransac.min_inliers)
+    new_pose = jnp.where(reloc_ok, lie.inv_T(pr.T_cw), new_pose)
+    track_ok = pose_ok | reloc_ok
+
+    assoc_ok = assoc_found & track_ok
     map_id2 = jnp.where(assoc_ok, assoc.point_id, map_id2)
     new_map = point_map.add_observations(new_map, assoc.point_id, feats.desc,
                                          assoc_ok, state.frame_idx)
@@ -231,13 +256,16 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
         map_size=new_map.size,
         map_alive=n_alive,
         scale=scale,
-        success=pose_ok,
+        success=track_ok,
         uv1=uv1,
         uv2=uv2,
         match_mask=rres.inliers,
         kp_uv=feats.uv,
         kp_mask=feats.mask,
     )
+    # motion model: the relative step actually taken this frame, updated only
+    # on success (during failures the extrapolation keeps replaying it)
+    new_vel = jnp.where(track_ok, lie.inv_T(state.pose) @ new_pose, state.vel)
     new_state = TrackerState(
         pose=new_pose,
         prev=feats,
@@ -246,11 +274,6 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
         frame_idx=state.frame_idx + 1,
         scale=scale,
         key=state.key,
+        vel=new_vel,
     )
     return new_state, out
-
-
-def _constant_velocity():
-    """Fallback motion when tracking fails: identity (hold pose).
-    The reference crashes instead (SURVEY.md §5 failure handling)."""
-    return jnp.eye(4, dtype=jnp.float32)
