@@ -2,7 +2,7 @@
 
 Prints ONE JSON line:
   {"metric": "frames_per_sec_per_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N/30.0}
+   "vs_baseline": N/30.0, ...}
 
 Baseline note: the reference publishes no performance numbers anywhere
 (BASELINE.md — README.md is two lines, no benchmarks/ dir, no timing code);
@@ -11,16 +11,41 @@ i.e. real-time 30 fps video is the implied operating point. We therefore
 report vs_baseline relative to 30 fps real-time tracking.
 
 Workload: KITTI-shaped frames (1248x384), 3072 keypoints, 2048 RANSAC
-hypotheses, 128k-point map with full search-by-projection association every
-frame — the reference's workload-defining constants (BASELINE.md) with the
-hypothesis count raised to TPU batch scale.
+hypotheses, full search-by-projection association against the live map
+every frame (the reference's whole-map projection pass,
+src/vslam.cpp:129-161, at the workload-defining constants of BASELINE.md
+with the hypothesis count raised to TPU batch scale).
+
+THE HEADLINE IS STEADY-STATE: before the timed region the live map is
+pre-populated to ~51k landmarks spread through the trajectory corridor
+(random descriptors — they exercise every association block's distance
+matmuls without ever passing the Hamming<64 gate, so tracking quality is
+unaffected), which is what a long KITTI run's map looks like. The
+from-scratch (young-map) fps and a ~120k-point near-capacity fps are
+reported alongside in the same JSON line.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _distractors(key, n, extent, z_range):
+    """Landmarks along the trajectory corridor with random descriptors."""
+    import jax
+    import jax.numpy as jnp
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, (n, 3))
+    xyz = jnp.stack([
+        (u[:, 0] * 2 - 1) * extent[0],
+        (u[:, 1] * 2 - 1) * extent[1],
+        z_range[0] + u[:, 2] * (z_range[1] - z_range[0]),
+    ], axis=1)
+    desc = jax.random.bits(k2, (n, 8), jnp.uint32)
+    return xyz, desc
 
 
 def main():
@@ -29,19 +54,18 @@ def main():
 
     from vslam_tpu.config import VSLAMConfig
     from vslam_tpu.datasets import synthetic
+    from vslam_tpu.mapping import point_map
     from vslam_tpu.pipeline import tracker
 
     cfg = VSLAMConfig()
     K = cfg.camera.K()
     W, H = cfg.camera.width, cfg.camera.height
 
-    import sys
-
     # Per-invocation seed: the device transport caches bit-identical
     # executions ACROSS processes, so a fixed seed would let a second bench
     # run replay the first run's results in ~1 ms. Fresh inputs every run.
     run_seed = int(time.time()) % 100000
-    print(f"run_seed={run_seed}", file=__import__("sys").stderr)
+    print(f"run_seed={run_seed}", file=sys.stderr)
 
     n_timed = 40
     n_frames = n_timed + 2
@@ -50,8 +74,19 @@ def main():
     poses = synthetic.make_trajectory(n_frames, step=1.0, seed=run_seed)
     frames_np = synthetic.render_sequence(K, poses, scene, W, H)
 
-    state = tracker.bootstrap(jnp.asarray(frames_np[0]), cfg)
-    np.asarray(state.pose)  # fetch = the only true barrier on this transport
+    state0 = tracker.bootstrap(jnp.asarray(frames_np[0]), cfg)
+    np.asarray(state0.pose)  # fetch = the only true barrier on this transport
+
+    def prepopulate(state, n_pts):
+        """Fill the live map with corridor landmarks (random descriptors:
+        never associate, always cost). last_seen is set far in the future so
+        cull_stale cannot retire them mid-measurement."""
+        xyz, desc = _distractors(jax.random.PRNGKey(run_seed + n_pts), n_pts,
+                                 extent=(50, 10), z_range=(2.0, 180.0))
+        m = point_map.insert_points(
+            state.map, xyz, jnp.zeros((n_pts, 3), jnp.float32), desc,
+            jnp.ones((n_pts,), bool), frame_idx=1 << 20)
+        return state.replace(map=m)
 
     # Device-side loop: lax.scan over pre-loaded sequential frames so the
     # measurement is pure per-chip compute — host dispatch/transfer latency
@@ -82,27 +117,41 @@ def main():
     # BEFORE the device finishes (measured: 1 ms "wait" on a 10 s compute).
     # Fetching output bytes is the only true completion barrier, so the
     # timed region ends at np.asarray of a tiny per-frame output.
-    t0 = time.perf_counter()
-    st, (inl, ok) = run_n(state, stacked)
-    inl = np.asarray(inl)  # (n_timed,) int32 — fetch waits for the compute
-    dt = time.perf_counter() - t0
-    fps = n_timed / dt
+    def timed(state):
+        np.asarray(state.map.size)         # settle the prepopulation
+        t0 = time.perf_counter()
+        st, (inl, ok) = run_n(state, stacked)
+        inl = np.asarray(inl)              # fetch waits for the compute
+        dt = time.perf_counter() - t0
+        return n_timed / dt, np.asarray(ok), inl, st
 
-    # sanity: tracking genuinely worked across the sequence
-    ok = np.asarray(ok)
-    print(
-        f"sanity: success={int(ok.sum())}/{n_timed} median_inliers="
-        f"{int(np.median(inl))} final_map={int(np.asarray(st.map.size))}",
-        file=sys.stderr,
-    )
-    assert ok.mean() > 0.8, ok
-    assert np.median(inl) > 50, inl
+    results = {}
+    for label, n_pre in [("map0", 0), ("map51k", 51200), ("map120k", 120000)]:
+        state = state0 if n_pre == 0 else prepopulate(state0, n_pre)
+        fps, ok, inl, st = timed(state)
+        final_map = int(np.asarray(st.map.size))
+        results[label] = (fps, final_map)
+        print(
+            f"{label}: fps={fps:.2f} success={int(ok.sum())}/{n_timed} "
+            f"median_inliers={int(np.median(inl))} final_map={final_map}",
+            file=sys.stderr,
+        )
+        assert ok.mean() > 0.8, (label, ok)
+        assert np.median(inl) > 50, (label, inl)
 
+    fps50, final50 = results["map51k"]
+    assert final50 >= 50000, final50       # the headline IS steady-state
     print(json.dumps({
         "metric": "frames_per_sec_per_chip",
-        "value": round(fps, 3),
+        "value": round(fps50, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(fps50 / 30.0, 3),
+        "note": "steady-state: full association vs a 51k-point live map "
+                "inside the timed region",
+        "final_map": final50,
+        "fps_from_scratch": round(results["map0"][0], 3),
+        "fps_map120k": round(results["map120k"][0], 3),
+        "final_map_120k": results["map120k"][1],
     }))
 
 

@@ -48,12 +48,24 @@ def cmd_run(args):
         from .datasets import synthetic
         cfg = _build_cfg(args)
         K = cfg.camera.K()
-        scene = synthetic.make_scene(
-            num_points=args.synthetic_points, seed=args.seed,
-            extent=(40, 10, 80), z_min=5.0,
-        )
-        gt_poses = synthetic.make_trajectory(args.frames, step=0.6,
-                                             yaw_rate=0.01, seed=args.seed)
+        if args.corridor:
+            # landmarks along the whole path — required for endurance runs
+            # that walk out of a fixed scene box. Anchors extend past the
+            # run's end so feature density stays constant to the last frame.
+            ext_poses = synthetic.make_trajectory(args.frames + 80, step=0.6,
+                                                  yaw_rate=0.01,
+                                                  seed=args.seed)
+            gt_poses = ext_poses[: args.frames]
+            scene = synthetic.make_corridor_scene(
+                ext_poses, num_points=args.synthetic_points, seed=args.seed)
+        else:
+            gt_poses = synthetic.make_trajectory(args.frames, step=0.6,
+                                                 yaw_rate=0.01,
+                                                 seed=args.seed)
+            scene = synthetic.make_scene(
+                num_points=args.synthetic_points, seed=args.seed,
+                extent=(40, 10, 80), z_min=5.0,
+            )
         source = (
             (i, synthetic.render_frame(K, gt_poses[i], scene,
                                        cfg.camera.width, cfg.camera.height))
@@ -85,8 +97,17 @@ def cmd_run(args):
         source = iter(ds)
         n_total = len(ds)
 
+    mesh = None
+    if args.mesh:
+        import jax
+        from .parallel import mesh as mesh_mod
+        if jax.device_count() < args.mesh:
+            print(f"--mesh {args.mesh} needs {args.mesh} devices, have "
+                  f"{jax.device_count()}", file=sys.stderr)
+            return 2
+        mesh = mesh_mod.make_mesh(cfg.mesh.axis_map, args.mesh)
     sys_ = SLAMSystem(cfg, metrics_path=os.path.join(args.out, "metrics.jsonl"),
-                      enable_ba=not args.no_ba, seed=args.seed)
+                      enable_ba=not args.no_ba, seed=args.seed, mesh=mesh)
     if args.save_frames:
         os.makedirs(os.path.join(args.out, "frames"), exist_ok=True)
     stream = None
@@ -162,6 +183,9 @@ def main(argv=None):
     r = sub.add_parser("run", help="run SLAM on a sequence")
     r.add_argument("--synthetic", action="store_true")
     r.add_argument("--synthetic-points", type=int, default=4000)
+    r.add_argument("--corridor", action="store_true",
+                   help="distribute synthetic landmarks along the whole "
+                        "trajectory (for long endurance runs)")
     r.add_argument("--kitti", help="KITTI odometry root dir")
     r.add_argument("--sequence", default="00")
     r.add_argument("--tum", help="TUM RGB-D sequence dir")
@@ -175,6 +199,10 @@ def main(argv=None):
     r.add_argument("--config", help="JSON config file")
     r.add_argument("--small", action="store_true", help="small/fast config")
     r.add_argument("--no-ba", action="store_true")
+    r.add_argument("--mesh", type=int, default=0,
+                   help="shard the map's point axis across N devices "
+                        "(BASELINE config 4; association runs shard-local "
+                        "with a cross-shard arg-best over ICI)")
     r.add_argument("--global-ba", action="store_true",
                    help="run global BA over all keyframes at end of sequence")
     r.add_argument("--seed", type=int, default=0)

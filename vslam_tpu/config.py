@@ -135,6 +135,9 @@ class BAConfig:
     """Gauss-Newton / LM bundle adjustment with Schur complement — the
     component the reference stubbed out (src/optimzer.cpp:1-9)."""
     window: int = 20                 # sliding-window keyframes
+    free_cams: int = 8               # newest cams free in window BA; older
+                                     # window cams anchor the gauge (see
+                                     # keyframes.build_window_problem)
     max_points: int = 8192           # landmarks per BA problem
     max_obs_per_point: int = 16      # point-major observation slots
     iterations: int = 10
@@ -215,8 +218,8 @@ def small_config() -> VSLAMConfig:
         matching=MatchingConfig(max_matches=256),
         ransac=RansacConfig(num_hypotheses=128),
         map=MapConfig(capacity=4096, block_size=512),
-        ba=BAConfig(window=6, max_points=512, max_obs_per_point=8,
-                    iterations=8, huber_delta=2.5),
+        ba=BAConfig(window=6, free_cams=3, max_points=512,
+                    max_obs_per_point=8, iterations=8, huber_delta=2.5),
         pipeline=PipelineConfig(keyframe_every=2, max_keyframes=32,
                                 local_ba_every=2),
     )

@@ -30,6 +30,22 @@ class Scene:
     color: np.ndarray      # (P, 3) RGB in [0,1]
 
 
+def _make_patches(rng, num_points: int, patch_size: int) -> np.ndarray:
+    # Patch design: low-contrast random texture (distinctive BRIEF bits per
+    # landmark) + a high-contrast checkerboard X-corner at the patch center so
+    # the Shi-Tomasi maximum localizes at the landmark's projection.
+    patches = rng.uniform(0.3, 0.7, (num_points, patch_size, patch_size)).astype(np.float32)
+    c = patch_size // 2
+    hi = rng.uniform(0.85, 1.0, (num_points, 1, 1)).astype(np.float32)
+    lo = rng.uniform(0.0, 0.15, (num_points, 1, 1)).astype(np.float32)
+    q = 2  # quadrant half-size; X-junction at (c-0.5, c-0.5)
+    patches[:, c - q : c, c - q : c] = hi
+    patches[:, c : c + q, c : c + q] = hi
+    patches[:, c - q : c, c : c + q] = lo
+    patches[:, c : c + q, c - q : c] = lo
+    return patches
+
+
 def make_scene(
     num_points: int = 4000,
     seed: int = 0,
@@ -46,18 +62,40 @@ def make_scene(
         ],
         axis=1,
     ).astype(np.float32)
-    # Patch design: low-contrast random texture (distinctive BRIEF bits per
-    # landmark) + a high-contrast checkerboard X-corner at the patch center so
-    # the Shi-Tomasi maximum localizes at the landmark's projection.
-    patches = rng.uniform(0.3, 0.7, (num_points, patch_size, patch_size)).astype(np.float32)
-    c = patch_size // 2
-    hi = rng.uniform(0.85, 1.0, (num_points, 1, 1)).astype(np.float32)
-    lo = rng.uniform(0.0, 0.15, (num_points, 1, 1)).astype(np.float32)
-    q = 2  # quadrant half-size; X-junction at (c-0.5, c-0.5)
-    patches[:, c - q : c, c - q : c] = hi
-    patches[:, c : c + q, c : c + q] = hi
-    patches[:, c - q : c, c : c + q] = lo
-    patches[:, c : c + q, c - q : c] = lo
+    patches = _make_patches(rng, num_points, patch_size)
+    color = rng.uniform(0.2, 1.0, (num_points, 3)).astype(np.float32)
+    return Scene(xyz=xyz, patches=patches, color=color)
+
+
+def make_corridor_scene(
+    poses: np.ndarray,
+    num_points: int = 20000,
+    seed: int = 0,
+    lateral: float = 14.0,
+    vertical: float = 5.0,
+    ahead: Tuple[float, float] = (4.0, 45.0),
+    patch_size: int = 9,
+) -> Scene:
+    """Landmarks distributed along a (long) camera trajectory.
+
+    ``make_scene`` fills a fixed box, which a 500+-frame endurance path
+    walks straight out of; here each landmark anchors to a random pose of
+    the path and is offset ahead of it in the camera frame, so features are
+    available for the whole run — the synthetic analogue of driving a long
+    KITTI sequence.
+    """
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, len(poses), num_points)
+    T = np.asarray(poses, np.float32)[idx]               # (P, 4, 4)
+    right, up, fwd = T[:, :3, 0], T[:, :3, 1], T[:, :3, 2]
+    pos = T[:, :3, 3]
+    xyz = (
+        pos
+        + fwd * rng.uniform(ahead[0], ahead[1], num_points)[:, None]
+        + right * (rng.randn(num_points) * lateral)[:, None]
+        + up * (rng.randn(num_points) * vertical)[:, None]
+    ).astype(np.float32)
+    patches = _make_patches(rng, num_points, patch_size)
     color = rng.uniform(0.2, 1.0, (num_points, 3)).astype(np.float32)
     return Scene(xyz=xyz, patches=patches, color=color)
 
@@ -153,9 +191,8 @@ def render_frame(
         & (uv[:, 1] >= r + 1) & (uv[:, 1] < height - r - 1)
     )
     order = np.argsort(-z)  # far first; near landmarks overwrite
+    order = order[vis[order]]
     for i in order:
-        if not vis[i]:
-            continue
         x, y = uv[i]
         xi, yi = int(np.floor(x)), int(np.floor(y))
         fx, fy = x - xi, y - yi

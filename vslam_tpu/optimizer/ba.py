@@ -283,7 +283,12 @@ def _schur_reduce(r, w, J_c, J_p, problem: BAProblem, lam, block: int = 512,
     )
 
     # Gauge fixing: fixed/unused cameras get identity rows/cols, zero rhs.
-    free = (problem.cam_mask & ~problem.cam_fixed)
+    # Cameras with no live observations (all rejected/weighted out) are
+    # auto-fixed too: their S block is pure damping, and freeing them makes
+    # the reduced system indefinite -> NaN Cholesky (observed on endurance
+    # runs after a hard outlier-rejection round).
+    has_obs = jnp.einsum("cii->c", S[jnp.arange(C), jnp.arange(C)]) > 1e-9
+    free = (problem.cam_mask & ~problem.cam_fixed & has_obs)
     free_rc = jnp.repeat(free, 6)
     Sd = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
     Sd = jnp.where(free_rc[:, None] & free_rc[None, :], Sd, 0.0)
@@ -337,7 +342,12 @@ def _solve_impl(problem: BAProblem, K_intr, cfg: BAConfig,
             S + jitter * jnp.eye(C6, dtype=S.dtype), lower=True
         )
         dx_cam = jax.scipy.linalg.cho_solve((L, low), b)
+        # LM safeguard: an indefinite S (rank-deficient window geometry at
+        # low damping) yields NaN from the Cholesky — treat as a zero step,
+        # which the accept test rejects, raising damping until S is PD.
+        dx_cam = jnp.where(jnp.isfinite(dx_cam), dx_cam, 0.0)
         dX = _backsub(dx_cam, Hpp_inv, b_p, W_blk, problem)
+        dX = jnp.where(jnp.isfinite(dX), dX, 0.0)
 
         free = (problem.cam_mask & ~problem.cam_fixed)[:, None]
         xi = jnp.where(free, dx_cam.reshape(-1, 6), 0.0)

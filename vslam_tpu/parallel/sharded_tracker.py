@@ -1,0 +1,143 @@
+"""Sharded-map tracking: the full track step under ``shard_map``.
+
+BASELINE config 4 as an *operating mode* (not just a demoed primitive): the
+map's point axis is partitioned across the device mesh for the entire
+tracked run. The whole per-frame step (pipeline/tracker._step_impl) executes
+inside one ``shard_map``:
+
+  * every non-map stage (features, matching, RANSAC, triangulation, PnP)
+    runs on fully replicated data — each device executes the same program
+    on the full arrays, and the explicit collectives below are exact, so
+    trajectories are BIT-IDENTICAL ACROSS MESH SIZES (asserted for 2/4/8
+    devices, tests/test_sharded_tracking.py). Vs the single-device
+    compilation they agree to f32 tolerance only: XLA's SPMD partitioner
+    pass re-tiles float contractions for any >1-device program, replicated
+    or not — measured ~5e-5 on ransac_pose alone under an n=2 mesh with
+    fully replicated specs. A GSPMD (auto-sharded jit) formulation was
+    measured to drift the same way while also letting the compiler
+    repartition the replicated stages; shard_map pins those down;
+  * map ops are shard-local with explicit collectives:
+      - associate: local blocked scan + lexicographic (distance, global id)
+        cross-shard arg-best over ICI (same combine as
+        sharded_map.associate_sharded — bit-exact, test_parallel.py);
+      - insert/observe/cull: the global cursor/ids are replicated scalars;
+        each shard applies only the scatter rows that land in its slot
+        range [i*Cs, (i+1)*Cs);
+      - gathers from the map (scale estimation, PnP landmarks): each shard
+        contributes its owned rows, zeros elsewhere, combined with one psum
+        (exact — each row has a single nonzero contributor).
+
+The analogue being scaled is the reference's whole-map projection pass
+(reference src/vslam.cpp:129-161), whose per-frame cost grows with map size;
+here capacity and scan cost split ~1/D across the mesh.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..config import VSLAMConfig
+from ..mapping import point_map
+from ..mapping.point_map import AssociationResult
+from ..core.types import MapState
+from . import sharded_map
+
+
+def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
+    """MapOps bound to this device's shard (call inside shard_map)."""
+    from ..pipeline.tracker import MapOps
+
+    GC = cfg.map.capacity
+    start = jax.lax.axis_index(axis) * Cs
+
+    def local_view(m: MapState) -> MapState:
+        # local cursor = how far the global cursor reaches into this shard
+        return m.replace(size=jnp.clip(m.size - start, 0, Cs))
+
+    def associate(m, P2, uv, desc, free):
+        res = point_map.associate(local_view(m), P2, uv, desc, free,
+                                  cfg.map, cfg.matching, W, H)
+        gid = jnp.where(res.point_id >= 0, start + res.point_id,
+                        jnp.int32(GC))
+        gmin = jax.lax.pmin(res.distance, axis)
+        cand = jnp.where((res.distance == gmin) & (gid < GC), gid,
+                         jnp.int32(GC))
+        gbest = jax.lax.pmin(cand, axis)
+        return AssociationResult(
+            point_id=jnp.where(gbest < GC, gbest, -1), distance=gmin)
+
+    def gather_xyz(m, ids):
+        owned = (ids >= start) & (ids < start + Cs)
+        rows = m.xyz[jnp.clip(ids - start, 0, Cs - 1)]
+        contrib = jnp.where(owned[:, None], rows, 0.0)
+        return jax.lax.psum(contrib, axis)
+
+    def observe(m, ids, desc, valid, frame):
+        owned = (ids >= start) & (ids < start + Cs)
+        return point_map.add_observations(
+            m, jnp.where(owned, ids - start, -1), desc, valid & owned, frame)
+
+    def insert(m, xyz, color, desc, valid, frame):
+        # global slot layout identical to point_map.insert_points; this
+        # shard applies the rows landing in its range
+        offs = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        pos = jnp.where(valid, m.size + offs, GC)
+        pos = jnp.where(pos < GC, pos, GC)
+        dst = jnp.where((pos >= start) & (pos < start + Cs), pos - start, Cs)
+        return MapState(
+            xyz=m.xyz.at[dst].set(xyz, mode="drop"),
+            color=m.color.at[dst].set(color, mode="drop"),
+            desc=m.desc.at[dst, 0].set(desc, mode="drop"),
+            desc_count=m.desc_count.at[dst].set(1, mode="drop"),
+            alive=m.alive.at[dst].set(True, mode="drop"),
+            last_seen=m.last_seen.at[dst].set(
+                jnp.asarray(frame, jnp.int32), mode="drop"),
+            size=jnp.minimum(m.size + valid.sum().astype(jnp.int32), GC),
+        )
+
+    def cull(m, frame):
+        out = point_map.cull_stale(local_view(m), frame)
+        return out.replace(size=m.size)
+
+    def alive_count(m):
+        lv = local_view(m)
+        local = (lv.alive & (jnp.arange(Cs) < lv.size)).sum()
+        return jax.lax.psum(local, axis)
+
+    return MapOps(observe=observe, associate=associate,
+                  gather_xyz=gather_xyz, insert=insert, cull=cull,
+                  alive_count=alive_count, global_capacity=GC)
+
+
+def run_sharded(state, img, cfg: VSLAMConfig, mesh, map_axis: str):
+    """Execute one tracking step with the map sharded over ``map_axis``.
+    Called from tracker.track_step (already under jit)."""
+    from ..pipeline import tracker
+
+    D = mesh.shape[map_axis]
+    GC = cfg.map.capacity
+    assert GC % D == 0, (GC, D)
+    Cs = GC // D
+    assert Cs % cfg.map.block_size == 0, (Cs, cfg.map.block_size)
+    W, H = cfg.camera.width, cfg.camera.height
+
+    state_specs = jax.tree.map(lambda _: P(), state)
+    state_specs = state_specs.replace(
+        map=sharded_map.map_state_specs(map_axis))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, P()),
+        out_specs=(state_specs, P()),
+        check_vma=False,  # outputs replicated post-collectives
+    )
+    def run(st, img):
+        ops = _local_ops(cfg, map_axis, Cs, W, H)
+        return tracker._step_impl(st, img, cfg, ops)
+
+    return run(state, img)

@@ -86,15 +86,30 @@ class WindowProblem(NamedTuple):
     n_evicted_keyframes: jnp.ndarray  # () i32 keyframes lost to the ring
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "window", "max_points"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "window", "max_points",
+                                    "free_tail"))
 def build_window_problem(store: KeyframeStore, m: MapState,
                          cfg: VSLAMConfig, window: int | None = None,
-                         max_points: int | None = None) -> WindowProblem:
+                         max_points: int | None = None,
+                         free_tail: int | None = None) -> WindowProblem:
     """Build a BA problem over the most recent `window` keyframes.
 
     window=None uses cfg.ba.window (local/sliding BA); passing the ring size
     makes this *global* BA over every retained keyframe (BASELINE config 5's
-    global-BA mode; the sharded solver takes the same problem)."""
+    global-BA mode; the sharded solver takes the same problem).
+
+    ``free_tail``: with None (global BA), gauge = the two oldest cameras,
+    everything else free. With an int k (sliding-window BA), ONLY the newest
+    k cameras are free and every older window camera is fixed: consecutive
+    windows overlap, so the older cameras have already been optimized by
+    previous windows — re-freeing them each time leaves the window's
+    monocular scale direction nearly flat and the solution wanders (measured
+    on the 60-frame corridor run: per-event camera drift 0.6-0.7 units
+    compounding to 19 through the write-back/re-anchor feedback, 6x worse
+    odometry ATE than tracking alone; with the anchored tail the same run
+    improves on tracking). Landmarks stay free in both modes.
+    """
     W = min(window or cfg.ba.window, store.ring_size)
     P = max_points or cfg.ba.max_points
     Kslots = cfg.ba.max_obs_per_point
@@ -111,9 +126,15 @@ def build_window_problem(store: KeyframeStore, m: MapState,
 
     T_wc = store.poses[win_slots]                        # (W, 4, 4)
     T_cw = lie.inv_T(T_wc)
-    # gauge: the first two *valid* cams
     vi = jnp.cumsum(win_valid.astype(jnp.int32))
-    cam_fixed = win_valid & (vi <= 2)
+    n_valid = win_valid.sum()
+    if free_tail is None:
+        # gauge: the first two *valid* cams
+        cam_fixed = win_valid & (vi <= 2)
+    else:
+        # anchor everything but the newest free_tail cams (>=2 fixed)
+        n_fixed = jnp.maximum(n_valid - free_tail, jnp.minimum(n_valid, 2))
+        cam_fixed = win_valid & (vi <= n_fixed)
 
     # --- flat observation list over the window ---------------------------
     pid = store.obs_pid[win_slots].reshape(-1)           # (W*N,)

@@ -106,16 +106,70 @@ def bootstrap(img, cfg: VSLAMConfig, seed: int = 0) -> TrackerState:
     return st.replace(prev=feats, frame_idx=jnp.ones((), jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def track_step(state: TrackerState, img, cfg: VSLAMConfig):
+class MapOps(NamedTuple):
+    """Map-operation interface the tracking step is written against.
+
+    The default (single-device) binding forwards to mapping/point_map; the
+    sharded binding (parallel/sharded_tracker.py) runs the same step INSIDE
+    ``shard_map`` with the map's point axis split across a mesh — shard-local
+    scatters/gathers plus explicit collectives — so a sharded run is
+    bit-identical to the single-device run (every non-map stage executes the
+    same replicated program per device).
+    """
+    observe: object          # (m, ids, desc, valid, frame) -> m
+    associate: object        # (m, P2, uv, desc, free) -> AssociationResult
+    gather_xyz: object       # (m, ids) -> (N, 3) rows (0 where id invalid)
+    insert: object           # (m, xyz, color, desc, valid, frame) -> m
+    cull: object             # (m, frame) -> m
+    alive_count: object      # (m) -> () i32
+    global_capacity: int     # total map capacity across all shards
+
+
+def default_map_ops(cfg: VSLAMConfig, W: int, H: int) -> MapOps:
+    return MapOps(
+        observe=point_map.add_observations,
+        associate=lambda m, P2, uv, desc, free: point_map.associate(
+            m, P2, uv, desc, free, cfg.map, cfg.matching, W, H),
+        gather_xyz=lambda m, ids: m.xyz[jnp.clip(ids, 0, m.capacity - 1)],
+        insert=point_map.insert_points,
+        cull=point_map.cull_stale,
+        alive_count=lambda m: (
+            m.alive & (jnp.arange(m.capacity) < m.size)).sum(),
+        global_capacity=cfg.map.capacity,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "map_axis"))
+def track_step(state: TrackerState, img, cfg: VSLAMConfig,
+               mesh=None, map_axis: str = "map"):
     """Track one new frame. Returns (new_state, TrackOutput).
 
     The RANSAC key derives from state.key + frame index inside the jit —
     the host dispatches exactly one program per frame.
+
+    With ``mesh`` (a jax.sharding.Mesh carrying ``map_axis``), the map's
+    point axis lives sharded across the mesh — BASELINE config 4's
+    operating mode: the whole step runs under ``shard_map``
+    (parallel/sharded_tracker.py) with search-by-projection as shard-local
+    scans + a cross-shard arg-best over ICI, and insert/observe/cull as
+    shard-local scatters. Map capacity then scales with the mesh instead of
+    one chip's HBM; trajectories are bit-identical across mesh sizes and
+    match the unsharded compilation to f32 tolerance
+    (tests/test_sharded_tracking.py).
     """
+    if mesh is not None:
+        from ..parallel import sharded_tracker
+        return sharded_tracker.run_sharded(state, img, cfg, mesh, map_axis)
+    H, W = cfg.camera.height, cfg.camera.width
+    return _step_impl(state, img, cfg, default_map_ops(cfg, W, H))
+
+
+def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps):
+    """The tracking step body, parameterized over the map backend."""
     H, W = cfg.camera.height, cfg.camera.width
     K = jnp.asarray(cfg.camera.K())
     N = cfg.frontend.max_keypoints
+    GC = ops.global_capacity
     key = jax.random.fold_in(state.key, state.frame_idx)
 
     # 1. features ---------------------------------------------------------
@@ -149,14 +203,22 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
     # map-predicted depth of prev-frame keypoints that carry a map id
     pid_prev = state.prev_map_id
     has_map = (pid_prev >= 0) & rres.inliers
-    Xm = state.map.xyz[jnp.clip(pid_prev, 0, state.map.capacity - 1)]
+    Xm = ops.gather_xyz(state.map, pid_prev)
     T_cw_prev = lie.inv_T(state.pose)
     Xm_c = jnp.einsum("ij,nj->ni", T_cw_prev[:3, :3], Xm) + T_cw_prev[:3, 3]
     z_map = Xm_c[:, 2]
     ratio = z_map / jnp.maximum(z_rel, 1e-6)
     ratio_ok = has_map & (z_rel > 0.05) & (z_map > 0.05) & jnp.isfinite(ratio) \
         & (ratio > 1e-3) & (ratio < 1e3)
-    scale = _masked_median(ratio, ratio_ok, state.scale)
+    # Long-run robustness (endurance regime): a median over a handful of
+    # ratios is noise — hold the previous scale below 8 supports — and a
+    # single bad frame must not step the scale by more than 2x (measured
+    # failure mode: associations momentarily drop to zero at low feature
+    # density and the raw median spiked 10x, wrecking the chain).
+    n_ratio = ratio_ok.sum()
+    med = _masked_median(ratio, ratio_ok, state.scale)
+    scale = jnp.where(n_ratio >= 8, med, state.scale)
+    scale = jnp.clip(scale, 0.5 * state.scale, 2.0 * state.scale)
     scale = jnp.clip(scale, 1e-3, 1e3)
     # First tracked pair defines world scale = 1.
     scale = jnp.where(state.frame_idx <= 1, 1.0, scale)
@@ -176,7 +238,7 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
     tgt = jnp.where(prop_src >= 0, mres.idx2, N)   # N = drop
     map_id2 = map_id2.at[tgt].set(prop_src, mode="drop")
     # propagated points get a fresh observation descriptor recorded
-    new_map = point_map.add_observations(
+    new_map = ops.observe(
         state.map, map_id2, feats.desc, map_id2 >= 0, state.frame_idx
     )
 
@@ -186,28 +248,34 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
     # candidate search.
     P2 = cam.projection_matrix(K, new_pose)
     kp_free = feats.mask & (map_id2 < 0)
-    assoc = point_map.associate(
-        new_map, P2, feats.uv, feats.desc, kp_free,
-        cfg.map, cfg.matching, W, H,
-    )
+    assoc = ops.associate(new_map, P2, feats.uv, feats.desc, kp_free)
 
     # 7b. map-based relocalization: when RANSAC failed (blackout recovery,
     # low-texture frame), re-anchor the camera by pose-only GN on the
     # landmarks the extrapolated pose associated (geometry/pnp.py). The
     # reference has no recovery path at all (SURVEY.md §5).
     assoc_found = assoc.point_id >= 0
-    X_assoc = new_map.xyz[jnp.clip(assoc.point_id, 0, new_map.capacity - 1)]
-    pr = pnp.refine_pose(lie.inv_T(new_pose), X_assoc, feats.uv,
-                         assoc_found, K, iters=8,
-                         inlier_px=cfg.triangulation.reproj_threshold_sq ** 0.5 * 1.5)
-    reloc_ok = (~pose_ok) & (pr.num_inliers >= cfg.ransac.min_inliers)
-    new_pose = jnp.where(reloc_ok, lie.inv_T(pr.T_cw), new_pose)
+    X_assoc = ops.gather_xyz(new_map, assoc.point_id)
+
+    def _try_reloc(_):
+        pr = pnp.refine_pose(
+            lie.inv_T(new_pose), X_assoc, feats.uv, assoc_found, K, iters=8,
+            inlier_px=cfg.triangulation.reproj_threshold_sq ** 0.5 * 1.5)
+        return pr.T_cw, pr.num_inliers
+
+    # lax.cond: the GN refine only executes on failed frames — the success
+    # path pays nothing for the recovery machinery
+    T_reloc, n_reloc = jax.lax.cond(
+        pose_ok, lambda _: (lie.inv_T(new_pose), jnp.int32(-1)),
+        _try_reloc, None)
+    reloc_ok = (~pose_ok) & (n_reloc >= cfg.ransac.min_inliers)
+    new_pose = jnp.where(reloc_ok, lie.inv_T(T_reloc), new_pose)
     track_ok = pose_ok | reloc_ok
 
     assoc_ok = assoc_found & track_ok
     map_id2 = jnp.where(assoc_ok, assoc.point_id, map_id2)
-    new_map = point_map.add_observations(new_map, assoc.point_id, feats.desc,
-                                         assoc_ok, state.frame_idx)
+    new_map = ops.observe(new_map, assoc.point_id, feats.desc,
+                          assoc_ok, state.frame_idx)
 
     # 8. triangulate new world points (reference src/vslam.cpp:186-251) ----
     P1 = cam.projection_matrix(K, state.pose)
@@ -229,21 +297,19 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig):
     gray = img[yi, xi]
     color = jnp.stack([gray, gray, gray], axis=1)
     desc2 = feats.desc[mres.idx2]
-    new_map = point_map.insert_points(new_map, X_w, color, desc2, insert,
-                                      state.frame_idx)
+    new_map = ops.insert(new_map, X_w, color, desc2, insert, state.frame_idx)
     # retire uncorroborated stale landmarks (map hygiene; the reference's
     # map only ever grows)
-    new_map = point_map.cull_stale(new_map, state.frame_idx)
+    new_map = ops.cull(new_map, state.frame_idx)
 
     # newly inserted points: give the target keypoints their map ids
     offs = jnp.cumsum(insert.astype(jnp.int32)) - 1
     new_ids = jnp.where(insert, state.map.size + offs, -1)
-    new_ids = jnp.where(new_ids < new_map.capacity, new_ids, -1)
+    new_ids = jnp.where(new_ids < GC, new_ids, -1)
     tgt2 = jnp.where(insert & (new_ids >= 0), mres.idx2, N)
     map_id2 = map_id2.at[tgt2].set(new_ids, mode="drop")
-    n_dropped = (insert & (state.map.size + offs >= new_map.capacity)).sum()
-    n_alive = (new_map.alive
-               & (jnp.arange(new_map.capacity) < new_map.size)).sum()
+    n_dropped = (insert & (state.map.size + offs >= GC)).sum()
+    n_alive = ops.alive_count(new_map)
 
     out = TrackOutput(
         pose=new_pose,
