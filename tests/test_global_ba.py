@@ -22,22 +22,29 @@ def test_global_ba_covers_sequence_with_zero_truncation():
     (cfg.ba.max_points = 512 in small_config) still optimizes every
     landmark and every observation (VERDICT r02 missing: global BA could
     silently-but-loggedly truncate to the window caps)."""
+    import dataclasses
+
     import numpy as np
     from vslam_tpu.datasets import synthetic
     from vslam_tpu.pipeline import slam
     from tests.test_slam import CFG, K, W, H
 
-    # dense scene -> well over 512 unique keyframe landmarks
+    # Window cap lowered so the sequence's unique-landmark count exceeds it
+    # (parallax-gated delayed triangulation maps ~6 landmarks/frame on this
+    # scene — deliberate: see tracker step 8 — so the default 512 cap is no
+    # longer exceeded by a 30-frame run).
+    cfg = CFG.replace(ba=dataclasses.replace(CFG.ba, max_points=128))
+    # dense scene -> well over max_points unique keyframe landmarks
     scene = synthetic.make_scene(num_points=2500, seed=9,
                                  extent=(14, 6, 45), z_min=6.0)
     poses = synthetic.make_trajectory(30, step=0.6, yaw_rate=0.01, seed=9)
     frames = synthetic.render_sequence(K, poses, scene, W, H)
-    sys_ = slam.SLAMSystem(CFG, enable_ba=False)
+    sys_ = slam.SLAMSystem(cfg, enable_ba=False)
     for f in frames:
         sys_.process(f)
     sys_.run_global_ba()
     cov = sys_.last_global_ba_coverage
-    assert cov["unique_landmarks"] > CFG.ba.max_points, cov
+    assert cov["unique_landmarks"] > cfg.ba.max_points, cov
     assert cov["max_points"] >= cov["unique_landmarks"], cov
     assert cov["dropped_points"] == 0, cov
     assert cov["dropped_obs"] == 0, cov

@@ -101,8 +101,10 @@ def test_slam_system_bounded_map_no_drops():
     from vslam_tpu.datasets import synthetic
     from vslam_tpu.pipeline.slam import SLAMSystem
 
-    cfg = small_config().replace(map=MapConfig(capacity=256, obs_per_point=4,
-                                               block_size=64))
+    # capacity sized to the parallax-gated insertion rate (~6/frame): a
+    # 24-frame run must overflow it so maintenance genuinely triggers
+    cfg = small_config().replace(map=MapConfig(capacity=64, obs_per_point=4,
+                                               block_size=32))
     K = cfg.camera.K()
     scene = synthetic.make_scene(num_points=3000, seed=3, extent=(40, 10, 80),
                                  z_min=5.0)

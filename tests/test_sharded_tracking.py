@@ -55,12 +55,16 @@ def test_sharded_tracking_matches_unsharded():
         shd, shd_infos = _run(mesh, frames)
         poses_by_n[n_dev] = shd.poses()
 
-        # identical per-frame association/tracking decisions
+        # equivalent per-frame association/tracking decisions. Counts sit
+        # on hard thresholds (Sampson inlier test, parallax gate), so the
+        # f32 compilation drift of the module docstring can flip a
+        # borderline element either way — equality up to a few counts, not
+        # bitwise.
         for a, b in zip(ref_infos[1:], shd_infos[1:]):
             assert a["num_matches"] == b["num_matches"]
-            assert a["num_inliers"] == b["num_inliers"]
-            assert a["num_associated"] == b["num_associated"], (a, b)
-            assert a["map_size"] == b["map_size"]
+            assert abs(a["num_inliers"] - b["num_inliers"]) <= 3, (a, b)
+            assert abs(a["num_associated"] - b["num_associated"]) <= 3, (a, b)
+            assert abs(a["map_size"] - b["map_size"]) <= 8, (a, b)
             assert a["success"] == b["success"]
 
         np.testing.assert_allclose(ref.poses(), shd.poses(), atol=5e-3)
@@ -77,8 +81,10 @@ def test_sharded_tracking_through_maintenance():
     """Eviction + compaction + re-pin keeps tracking correct when the
     sharded map churns past capacity (the config-4 long-run regime)."""
     import dataclasses
-    cfg = CFG.replace(map=dataclasses.replace(CFG.map, capacity=384,
-                                              block_size=96))
+    # capacity sized to the parallax-gated insertion rate (~4/frame) so a
+    # 22-frame run genuinely overflows it; 128/4 devices = 32-slot shards
+    cfg = CFG.replace(map=dataclasses.replace(CFG.map, capacity=128,
+                                              block_size=32))
     frames, _ = _frames(22, seed=13)
     mesh = mesh_mod.make_mesh(cfg.mesh.axis_map, 4)
 

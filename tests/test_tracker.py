@@ -39,7 +39,10 @@ class TestTracker:
         out = outs[0]
         assert bool(out.success)
         assert int(out.num_inliers) > 30, int(out.num_inliers)
-        assert int(out.num_new_points) > 20, int(out.num_new_points)
+        # Delayed triangulation: the first tracked pair mostly OPENS tracks
+        # (insertion waits for parallax); the close, high-parallax subset may
+        # insert immediately.
+        assert int(st.pend_valid.sum()) > 30, int(st.pend_valid.sum())
         # relative pose direction vs ground truth
         rel_est = np.linalg.inv(est[0]) @ est[1]
         rel_gt = np.linalg.inv(gt[0]) @ gt[1]

@@ -76,7 +76,16 @@ class MatchingConfig:
     lowe_ratio: float = 0.7          # reference src/Frame.cpp:91
     cross_check: bool = True         # reference TODO at src/Frame.cpp:103
     hamming_max: int = 64            # association gate (src/vslam.cpp:39)
-    search_radius: float = 8.0       # projection search radius in px
+    search_radius: float = 12.0      # projection search radius in px (the
+                                     # candidate pose seeds the search; a
+                                     # tight radius starves re-acquisition
+                                     # and with it the PnP anchor density)
+    # Guided frame-to-frame matching (matcher.match with keypoint pixels):
+    # candidates restricted to a spatial window; the descriptor gate can be
+    # generous inside it. Keeps feature tracks alive on low-texture frames
+    # — measured +47% matches on the synthetic corridor. 0 disables.
+    guided_radius: float = 48.0      # px; covers inter-frame flow
+    guided_hamming_max: int = 80     # absolute gate within the window
                                      # (reference uses 2 px, src/vslam.cpp:149;
                                      # wider is more robust with correct poses)
     # Which Hamming-distance kernel computes the (N1, N2) matrix:
@@ -85,7 +94,8 @@ class MatchingConfig:
     #                requires N1, N2 multiples of 256
     #   "popcount" — naive lax.population_count over the packed words
     # Default set by the on-chip race in ops/bench_kernels.py (KERNELS_r03.md:
-    # matmul 0.028 ms vs pallas 0.203 ms vs popcount 0.141 ms at 3072x3072).
+    # matmul 0.031 ms (40.2% of int8 peak) vs pallas 0.198 ms vs popcount
+    # 0.141 ms at 3072x3072; all three agree bit-exactly).
     kernel: str = "matmul"
 
 
@@ -105,9 +115,24 @@ class RansacConfig:
 @dataclass(frozen=True)
 class TriangulationConfig:
     reproj_threshold_sq: float = 4.0  # reference src/vslam.cpp:50
-    min_parallax_deg: float = 0.5
+    # Delayed-triangulation maturity threshold (tracker step 8). Measured:
+    # at 0.5-1 deg nearly every 1-frame-baseline candidate passes and the
+    # inserted depths carry a ~1% low bias that COMPOUNDS through the map
+    # (insert -> PnP conforms -> next insert); at ~2 deg the bias is gone.
+    # Guided frame-to-frame matching (MatchingConfig.guided_radius) keeps
+    # feature tracks alive long enough to mature to 2 deg, so the anchor
+    # density cost of waiting is small; one-shot widest-baseline refinement
+    # (step 8b) further debiases tracks that survive to 2x this threshold.
+    min_parallax_deg: float = 2.0
     min_depth: float = 0.1
     max_depth: float = 500.0
+    # Track-identity gate (tracker step 8): max Hamming distance between a
+    # track's first-observation descriptor and its current one. Rejects
+    # chained-match identity drift (hops to nearby corners), which is
+    # epipolar-consistent under forward motion and poisons triangulated
+    # depths (measured: map depth scale 0.93x truth by frame 10 without
+    # the gate, 1.00 +- 0.02 with it, oracle poses).
+    track_id_hamming_max: int = 56
 
 
 @dataclass(frozen=True)
@@ -121,10 +146,12 @@ class MapConfig:
     block_size: int = 4096           # shard/scan granularity for association
     # Search-by-projection kernel:
     #   "xla"    — blocked lax.scan of int8 MXU matmuls (point_map.associate).
-    #              Default per the on-chip race in KERNELS_r03.md: 3.4 ms vs
-    #              pallas 9.1 ms at map=131072 (61.9% of int8 peak) — XLA's
-    #              fused matmul pipeline beats the hand-tiled VPU kernel at
-    #              every measured map size.
+    #              Default per the on-chip race in KERNELS_r03.md: 0.38 ms vs
+    #              pallas 2.55 ms at map=4096, 3.73 vs 4.76 at 51200; at full
+    #              capacity 131072 they tie (9.12 vs 8.94, ~23% of int8
+    #              peak) — XLA's fused matmul pipeline matches or beats the
+    #              hand-tiled kernel at every measured size, and wins big at
+    #              small maps (lower fixed overhead).
     #   "pallas" — fused VMEM-resident kernel (ops/pallas_associate.py): the
     #              (block, keypoints) tile never exists in HBM.
     kernel: str = "xla"
@@ -147,8 +174,8 @@ class BAConfig:
     huber_delta: float = 2.0         # robust loss on reprojection residual (px)
     # How the reduced camera system is assembled (optimizer/ba.py):
     #   "auto"    — one-hot matmul assembly up to 64 cameras (window BA; no
-    #               scatters, MXU-only — the measured ~40x win on the
-    #               BASELINE-config-3 problem, KERNELS_r03.md), blocked
+    #               scatters, MXU-only — measured 8.2x on the
+    #               BASELINE-config-3 problem, BENCH_BA_r03.json), blocked
     #               scatter-add beyond (global BA: one-hot cost grows as C^2)
     #   "onehot" | "scatter" — force one
     schur_assembly: str = "auto"
@@ -215,7 +242,10 @@ def small_config() -> VSLAMConfig:
                             cx=128.0, cy=96.0),
         frontend=FrontendConfig(max_keypoints=256, grid_rows=4, grid_cols=4,
                                 border=17),
-        matching=MatchingConfig(max_matches=256),
+        # guided window scaled to the 256-px frame (default 48 fits KITTI
+        # width); a loose window on a small frame lets chained matches hop
+        # between lookalike corners (track identity drift, tracker step 8)
+        matching=MatchingConfig(max_matches=256, guided_radius=20.0),
         ransac=RansacConfig(num_hypotheses=128),
         map=MapConfig(capacity=4096, block_size=512),
         ba=BAConfig(window=6, free_cams=3, max_points=512,

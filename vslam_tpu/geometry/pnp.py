@@ -9,9 +9,12 @@ masked (X_world, uv) pairs, Huber-robust, fully vmapped/static-shape so it
 runs inside the jitted track step every frame at negligible cost
 (N<=3072 points x 2x6 Jacobians -> one 6x6 solve per iteration).
 
-Used by pipeline/tracker.py for constant-velocity relocalization: when
-frame-to-frame RANSAC fails, the extrapolated pose seeds association and
-this refine re-anchors the camera to the surviving map.
+Used by pipeline/tracker.py as the PRIMARY pose path (step 7b): every
+frame, the candidate pose (essential-chained on success, constant-velocity
+extrapolated on failure) seeds association, then this refine anchors the
+committed camera pose to the map — removing the multiplicative scale chain
+that pure essential-matrix odometry compounds. The failure case is the same
+code path, doubling as blackout relocalization.
 """
 from __future__ import annotations
 

@@ -16,7 +16,9 @@ def triangulate_dlt(P1, P2, uv1, uv2):
     """Linear (DLT) triangulation for N correspondences.
 
     Args:
-      P1, P2: (3, 4) projection matrices (world -> pixels).
+      P1, P2: (3, 4) projection matrices (world -> pixels), or (N, 3, 4)
+        per-correspondence matrices (delayed-triangulation tracks, where
+        every keypoint's first observation came from a different camera).
       uv1, uv2: (N, 2) pixel observations.
     Returns:
       X: (N, 3) world points (dehomogenized, safe division).
@@ -26,8 +28,12 @@ def triangulate_dlt(P1, P2, uv1, uv2):
     def rows(P, uv):
         u = uv[:, 0:1]
         v = uv[:, 1:2]
-        r0 = u * P[2][None, :] - P[0][None, :]   # (N, 4)
-        r1 = v * P[2][None, :] - P[1][None, :]
+        if P.ndim == 3:
+            r0 = u * P[:, 2, :] - P[:, 0, :]     # (N, 4)
+            r1 = v * P[:, 2, :] - P[:, 1, :]
+        else:
+            r0 = u * P[2][None, :] - P[0][None, :]   # (N, 4)
+            r1 = v * P[2][None, :] - P[1][None, :]
         return r0, r1
 
     a0, a1 = rows(P1, uv1)
@@ -45,10 +51,14 @@ def triangulate_dlt(P1, P2, uv1, uv2):
 
 def reprojection_errors_sq(P, X, uv):
     """Squared pixel reprojection error of world points X through P.
+    P may be (3, 4) shared or (N, 3, 4) per-point (track first views).
     (Reference computes this with two matmuls + a manual normalize loop,
     src/vslam.cpp:192-251.)"""
     Xh = jnp.concatenate([X, jnp.ones_like(X[:, :1])], axis=1)
-    x = Xh @ P.T                              # (N, 3)
+    if P.ndim == 3:
+        x = jnp.einsum("nij,nj->ni", P, Xh)   # (N, 3)
+    else:
+        x = Xh @ P.T                          # (N, 3)
     z = x[:, 2]
     safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     d = x[:, :2] / safe[:, None] - uv
@@ -76,13 +86,14 @@ def triangulation_gate(
     and parallax checks that keep degenerate points out of the map.
 
     Args:
-      C1_w, C2_w: (3,) camera centers in world frame.
+      C1_w, C2_w: (3,) camera centers in world frame; C1_w/P1 may be (N, 3)
+        and (N, 3, 4) per-point (delayed-triangulation tracks).
     Returns:
       (N,) bool mask.
     """
     e1, z1 = reprojection_errors_sq(P1, X, uv1)
     e2, z2 = reprojection_errors_sq(P2, X, uv2)
-    ray1 = X - C1_w[None, :]
+    ray1 = X - (C1_w if C1_w.ndim == 2 else C1_w[None, :])
     ray2 = X - C2_w[None, :]
     n1 = jnp.linalg.norm(ray1, axis=1)
     n2 = jnp.linalg.norm(ray2, axis=1)

@@ -56,8 +56,8 @@ def jacobi_eigh(A, sweeps: int = 8):
     rotations of a round-robin round at once (angles computed from the
     pre-round matrix — the standard parallel-Jacobi ordering), with
     algebraic c/s (one rsqrt each, no arctan2/cos/sin). Measured on one
-    TPU v5e at batch 2048, n=9 (committed race, KERNELS_r03.md): 2.4 ms for
-    8 sweeps vs 27.1 ms for jnp.linalg.eigh — 11x; accuracy unchanged.
+    TPU v5e at batch 2048, n=9 (committed race, KERNELS_r03.md): 2.35 ms for
+    8 sweeps vs 27.4 ms for jnp.linalg.eigh — 11.7x; accuracy unchanged.
     """
     n = A.shape[-1]
     dtype = A.dtype

@@ -5,10 +5,11 @@ of the reference's projection loop, src/vslam.cpp:129-161) is, in its XLA
 form, a scan over map blocks that materializes (B, N) pixel-gate and
 Hamming-distance intermediates in HBM; this kernel keeps the whole per-block
 pipeline in VMEM instead. The round-3 on-chip race (KERNELS_r03.md) found
-XLA's pipeline has caught up: the XLA path now wins at every measured map
-size (3.4 ms vs 9.1 ms here at map=131072, 62% vs 23% of int8 peak), so
+the XLA path matches or beats this kernel at every measured map size —
+0.38 ms vs 2.55 ms at map=4096, 3.73 vs 4.76 at 51200, and a tie at full
+capacity 131072 (9.12 vs 8.94, ~23% of int8 peak both) — so
 ``MapConfig.kernel`` defaults to "xla" and this kernel remains the
-selectable alternative (bit-identical results, 100% agreement in the race).
+selectable alternative (identical picks, 100% agreement in the race).
 
 This kernel fuses the whole per-block pipeline in VMEM:
 

@@ -191,9 +191,11 @@ def _schur_reduce(r, w, J_c, J_p, problem: BAProblem, lam, block: int = 512,
       * "onehot"  — everything is dense matmuls against a (P, K, C) one-hot
         camera-incidence tensor: S = H_cc - A·Bᵀ with A = Σ_k E·(W·Hpp⁻¹),
         B = Σ_k E·W contracted per point. All MXU work, no scatters; cost
-        scales with C² but at C≲64 (window BA) it is ~100x faster on TPU
+        scales with C² but at C≲64 (window BA) it is much faster on TPU
         than scatter-adding P·K² 6x6 blocks (XLA lowers colliding scatters
-        to a serial loop). Measured race committed in KERNELS_r03.md.
+        to a serial loop): measured 8.2x end-to-end per LM iteration on the
+        BASELINE-config-3 problem (BENCH_BA_r03.json assembly race;
+        19.4 ms vs 159.4 ms per iteration, identical cost trajectories).
       * "scatter" — the original blocked scatter-add; cost independent of
         C, used for very large global problems (run_global_ba switches).
 

@@ -99,6 +99,12 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
             size=jnp.minimum(m.size + valid.sum().astype(jnp.int32), GC),
         )
 
+    def update_xyz(m, ids, xyz, valid):
+        # landmark refinement scatter: this shard applies only owned rows
+        owned = valid & (ids >= start) & (ids < start + Cs)
+        dst = jnp.where(owned, ids - start, Cs)
+        return m.replace(xyz=m.xyz.at[dst].set(xyz, mode="drop"))
+
     def cull(m, frame):
         out = point_map.cull_stale(local_view(m), frame)
         return out.replace(size=m.size)
@@ -109,7 +115,8 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
         return jax.lax.psum(local, axis)
 
     return MapOps(observe=observe, associate=associate,
-                  gather_xyz=gather_xyz, insert=insert, cull=cull,
+                  gather_xyz=gather_xyz, insert=insert,
+                  update_xyz=update_xyz, cull=cull,
                   alive_count=alive_count, global_capacity=GC)
 
 

@@ -73,7 +73,12 @@ class SLAMSystem:
         # mark, reclaiming at least min_free slots (evicting LRU landmarks
         # if culling alone freed too few)
         cap = cfg.map.capacity
-        self._maint_high_water = int(0.90 * cap)
+        # Headroom must cover a worst-case single-frame insert burst
+        # (bounded by the keypoint budget) or inserts drop silently before
+        # the post-step maintenance can run; at production capacities
+        # cap//10 dominates and this is the old 0.9 * cap.
+        headroom = max(cap // 10, min(cap // 2, cfg.frontend.max_keypoints))
+        self._maint_high_water = cap - headroom
         self._maint_min_free = max(cap // 8, 1)
         self.dropped_inserts_total = 0
         self.maintenance_runs = 0
@@ -155,6 +160,9 @@ class SLAMSystem:
             "num_matches": int(out.num_matches),
             "num_inliers": int(out.num_inliers),
             "num_associated": int(out.num_associated),
+            "num_tracked_map": int(out.num_tracked_map),
+            "num_pnp_inliers": int(out.num_pnp_inliers),
+            "num_refined": int(out.num_refined),
             "num_new_points": int(out.num_new_points),
             "num_dropped_inserts": int(out.num_dropped_inserts),
             "map_size": int(out.map_size),
@@ -176,6 +184,77 @@ class SLAMSystem:
         return sharded_map.shard_map_state(self.mesh, self._map_axis, m)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _pin_window_gauge(wp, solved):
+        """Divide out the scale factor window BA applied to the free
+        cameras (see _run_window_ba). Host-side numpy; returns a corrected
+        BAProblem with free-camera centers and landmarks rescaled about the
+        newest anchored camera's center. Rotations are untouched."""
+        import jax.numpy as jnp
+
+        valid = np.asarray(wp.win_valid)
+        fixed = np.asarray(wp.problem.cam_fixed)
+        free = valid & ~fixed
+        if free.sum() == 0 or (valid & fixed).sum() == 0:
+            return solved, 1.0
+        # Is the scale direction actually observed? Count anchored-camera
+        # observations of landmarks that FREE cameras also observe: those
+        # are the constraints that tie the free sub-window's scale to the
+        # fixed gauge. With a healthy bridge the solver's scale moves are
+        # signal — pinning them away was measured to WORSEN keyframe ATE
+        # (0.097 -> 0.159 on the 24-frame window-BA test scene). The
+        # ratchet this projection exists for lives in the exploration
+        # regime, where landmarks leave the view within a keyframe gap and
+        # the bridge is a handful of observations.
+        obs_cam = np.asarray(wp.problem.obs_cam)
+        obs_mask = np.asarray(wp.problem.obs_mask)
+        pmask = np.asarray(wp.problem.point_mask)
+        obs_fixed = fixed[obs_cam] & obs_mask
+        obs_free = (~fixed[obs_cam]) & obs_mask
+        bridging = obs_fixed.any(axis=1) & obs_free.any(axis=1) & pmask
+        if int(obs_fixed[bridging].sum()) >= 30:
+            return solved, 1.0
+        T_cw_old = np.asarray(wp.problem.T_cw)
+        T_cw_new = np.asarray(solved.T_cw)
+        C_old = -np.einsum("wji,wj->wi", T_cw_old[:, :3, :3],
+                           T_cw_old[:, :3, 3])
+        C_new = -np.einsum("wji,wj->wi", T_cw_new[:, :3, :3],
+                           T_cw_new[:, :3, 3])
+        # scale factor = median baseline ratio over consecutive valid pairs
+        # whose LATER camera is free (the section BA could move)
+        idx = np.where(valid)[0]
+        ratios = []
+        for a, b in zip(idx[:-1], idx[1:]):
+            if not free[b]:
+                continue
+            d_old = np.linalg.norm(C_old[b] - C_old[a])
+            d_new = np.linalg.norm(C_new[b] - C_new[a])
+            if d_old > 1e-6 and d_new > 1e-6:
+                ratios.append(d_new / d_old)
+        if not ratios:
+            return solved, 1.0
+        s = float(np.median(ratios))
+        # Engage only beyond 2%: small factors are legitimate refinement
+        # (scale IS partially observed through anchored-cam observations);
+        # re-scaling them out was measured to WORSEN keyframe ATE on short
+        # well-conditioned runs. The ratchet this guard exists for moves
+        # 5-30% per event.
+        if not np.isfinite(s) or not (0.2 < s < 5.0) or abs(s - 1.0) < 0.02:
+            return solved, s
+        # pivot at the newest anchored valid camera (BA cannot have moved it)
+        anch = np.where(valid & fixed)[0]
+        pivot = C_new[anch[-1]]
+        C_fix = pivot[None] + (C_new - pivot[None]) / s
+        R = T_cw_new[:, :3, :3]
+        t_fix = -np.einsum("wij,wj->wi", R, C_fix)
+        T_out = T_cw_new.copy()
+        T_out[free, :3, 3] = t_fix[free]
+        X = np.asarray(solved.points)
+        X_fix = pivot[None] + (X - pivot[None]) / s
+        return solved.replace(T_cw=jnp.asarray(T_out),
+                              points=jnp.asarray(X_fix)), s
+
+    # ------------------------------------------------------------------
     def _run_window_ba(self):
         wp = keyframes.build_window_problem(
             self.kf_store, self.state.map, self.cfg,
@@ -184,14 +263,21 @@ class SLAMSystem:
         solved, stats = ba.solve_robust(
             wp.problem, self._K, self.cfg.ba, reject_px=5.0, rounds=2
         )
-        # Trust region on the whole BA outcome. During pure exploration
-        # (landmarks continuously leaving the view) the window's monocular
-        # scale direction is weakly observable and the solution can slide
-        # far along it while the cost barely improves; writing such a result
-        # back and re-anchoring the live pose compounds run over run
-        # (measured on the 60-frame corridor endurance proxy: camera drift
-        # 0.7 -> 19 units across BA events, 6x odometry ATE). A window
-        # camera moving further than its own inter-keyframe baseline is
+        # Monocular gauge pinning. During pure exploration most window
+        # landmarks are seen ONLY by the free (newest) cameras, so the
+        # anchored cameras barely constrain the similarity gauge's scale
+        # direction: each solve can slide the free sub-window slightly
+        # along it at near-zero cost, tracking then conforms to the moved
+        # landmarks (PnP), and the slide RATCHETS event over event
+        # (measured on the 200-frame corridor: steps 0.9 -> 287 by frame
+        # 100 with BA on, dead flat with BA off). Project the slide out
+        # explicitly: divide the solved free-section baselines by the scale
+        # factor BA applied to them, pivoting at the newest anchored
+        # camera, which BA cannot move. Where scale IS well observed the
+        # measured factor is ~1 and this is a no-op.
+        solved, gauge_s = self._pin_window_gauge(wp, solved)
+        # Trust region on the whole (re-gauged) BA outcome: a window camera
+        # moving further than half its inter-keyframe baseline is
         # correction noise, not refinement — reject the event, keep
         # tracking's state.
         t_old = np.asarray(wp.problem.T_cw)[:, :3, 3]
@@ -222,6 +308,7 @@ class SLAMSystem:
             ba_result_accepted=ba_accepted,
             max_cam_move=max_move,
             median_baseline=baseline,
+            gauge_s=gauge_s,
             dropped_points=int(wp.n_dropped_points),
             dropped_obs=int(wp.n_dropped_obs),
             evicted_keyframes=int(wp.n_evicted_keyframes),

@@ -12,8 +12,12 @@ Improvements over the reference (deliberate, per SURVEY.md §7):
   * world-frame-consistent map (the reference triangulates every pair in the
     *previous camera's* frame and inserts those coordinates directly into the
     global map, src/vslam.cpp:123-125,186 — mixing frames);
-  * monocular scale propagation from re-observed map points (the reference
-    uses unit translation every step, src/helpers.cpp:12);
+  * PnP map tracking: the committed pose is a pose-only GN over every
+    map-anchored keypoint (geometry/pnp.py), with the essential-matrix chain
+    + re-observed-depth scale estimate only as candidate/bootstrap/fallback
+    (the reference uses unit translation every step, src/helpers.cpp:12;
+    pure scale chaining compounds multiplicatively — measured ~1%/frame
+    decay on long corridors, see _step_impl step 7b);
   * proper cheirality, triangulation gates, argmin association.
 """
 from __future__ import annotations
@@ -50,6 +54,21 @@ class TrackerState:
                                # T_{t-1 -> t} (world-chained); the
                                # constant-velocity motion model used to
                                # extrapolate through tracking failures
+    # Delayed-triangulation / widest-baseline-refinement tracks (step 8):
+    # each keypoint carries the pixel + camera of its FIRST observation
+    # along the match chain. Unmapped keypoints triangulate into the map
+    # once accumulated parallax clears the insertion gate; mapped keypoints
+    # keep re-triangulating their landmark whenever parallax grows, so a
+    # landmark's depth converges to its widest-baseline estimate.
+    # Per-frame-baseline triangulation is measurably depth-biased (see
+    # _step_impl step 8) and the bias compounds through the map.
+    pend_uv: jnp.ndarray       # (N, 2) f32 pixel at first observation
+    pend_P: jnp.ndarray        # (N, 3, 4) f32 projection matrix at first obs
+    pend_C: jnp.ndarray       # (N, 3) f32 camera center (world) at first obs
+    pend_desc: jnp.ndarray     # (N, 8) u32 descriptor at first observation —
+                               # the track's identity card (see step 8)
+    pend_par: jnp.ndarray      # (N,) f32 best parallax (rad) achieved so far
+    pend_valid: jnp.ndarray    # (N,) bool — keypoint carries a live track
 
 
 class TrackOutput(NamedTuple):
@@ -58,6 +77,9 @@ class TrackOutput(NamedTuple):
     num_inliers: jnp.ndarray
     num_cheirality: jnp.ndarray
     num_associated: jnp.ndarray
+    num_tracked_map: jnp.ndarray  # keypoints carrying a map id into PnP (7b)
+    num_pnp_inliers: jnp.ndarray  # PnP inliers of the committed refine
+    num_refined: jnp.ndarray      # landmarks re-triangulated this frame (8b)
     num_new_points: jnp.ndarray
     num_dropped_inserts: jnp.ndarray  # inserts lost to a full map this frame
     map_size: jnp.ndarray
@@ -84,7 +106,18 @@ def init_state(cfg: VSLAMConfig, seed: int = 0) -> TrackerState:
         scale=jnp.ones((), jnp.float32),
         key=jax.random.PRNGKey(seed),
         vel=jnp.eye(4, dtype=jnp.float32),
+        pend_uv=jnp.zeros((n, 2), jnp.float32),
+        pend_P=jnp.zeros((n, 3, 4), jnp.float32),
+        pend_C=jnp.zeros((n, 3), jnp.float32),
+        pend_desc=jnp.zeros((n, 8), jnp.uint32),
+        pend_par=jnp.zeros((n,), jnp.float32),
+        pend_valid=jnp.zeros((n,), bool),
     )
+
+
+def _hamming_rows(d1, d2):
+    """Row-wise Hamming distance of packed (N, 8) uint32 descriptors."""
+    return jnp.sum(jax.lax.population_count(d1 ^ d2), axis=1).astype(jnp.int32)
 
 
 def _masked_median(x, mask, fallback):
@@ -103,7 +136,19 @@ def bootstrap(img, cfg: VSLAMConfig, seed: int = 0) -> TrackerState:
     H, W = cfg.camera.height, cfg.camera.width
     feats = extract_features(img, cfg.frontend, H, W)
     st = init_state(cfg, seed)
-    return st.replace(prev=feats, frame_idx=jnp.ones((), jnp.int32))
+    # every first-frame keypoint opens a delayed-triangulation track
+    K = jnp.asarray(cfg.camera.K())
+    P0 = cam.projection_matrix(K, st.pose)
+    n = cfg.frontend.max_keypoints
+    return st.replace(
+        prev=feats, frame_idx=jnp.ones((), jnp.int32),
+        pend_uv=feats.uv,
+        pend_P=jnp.broadcast_to(P0[None], (n, 3, 4)),
+        pend_C=jnp.broadcast_to(st.pose[:3, 3][None], (n, 3)),
+        pend_desc=feats.desc,
+        pend_par=jnp.zeros((n,), jnp.float32),
+        pend_valid=feats.mask,
+    )
 
 
 class MapOps(NamedTuple):
@@ -120,6 +165,7 @@ class MapOps(NamedTuple):
     associate: object        # (m, P2, uv, desc, free) -> AssociationResult
     gather_xyz: object       # (m, ids) -> (N, 3) rows (0 where id invalid)
     insert: object           # (m, xyz, color, desc, valid, frame) -> m
+    update_xyz: object       # (m, ids, xyz, valid) -> m (landmark refine)
     cull: object             # (m, frame) -> m
     alive_count: object      # (m) -> () i32
     global_capacity: int     # total map capacity across all shards
@@ -132,6 +178,9 @@ def default_map_ops(cfg: VSLAMConfig, W: int, H: int) -> MapOps:
             m, P2, uv, desc, free, cfg.map, cfg.matching, W, H),
         gather_xyz=lambda m, ids: m.xyz[jnp.clip(ids, 0, m.capacity - 1)],
         insert=point_map.insert_points,
+        update_xyz=lambda m, ids, xyz, valid: m.replace(
+            xyz=m.xyz.at[jnp.where(valid, ids, m.capacity)].set(
+                xyz, mode="drop")),
         cull=point_map.cull_stale,
         alive_count=lambda m: (
             m.alive & (jnp.arange(m.capacity) < m.size)).sum(),
@@ -175,9 +224,12 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps):
     # 1. features ---------------------------------------------------------
     feats = extract_features(img, cfg.frontend, H, W)
 
-    # 2. frame-to-frame matching (reference src/Frame.cpp:82-105) ---------
+    # 2. frame-to-frame matching (reference src/Frame.cpp:82-105), guided
+    # by keypoint pixels (consecutive video frames: a spatial window around
+    # each source keypoint bounds the candidates; see matcher.match)
     mres = matcher.match(
-        state.prev.desc, state.prev.mask, feats.desc, feats.mask, cfg.matching
+        state.prev.desc, state.prev.mask, feats.desc, feats.mask,
+        cfg.matching, uv1=state.prev.uv, uv2=feats.uv
     )
     uv1 = state.prev.uv                       # (N, 2)
     uv2 = feats.uv[mres.idx2]                 # (N, 2) aligned by match
@@ -210,15 +262,29 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps):
     ratio = z_map / jnp.maximum(z_rel, 1e-6)
     ratio_ok = has_map & (z_rel > 0.05) & (z_map > 0.05) & jnp.isfinite(ratio) \
         & (ratio > 1e-3) & (ratio < 1e3)
-    # Long-run robustness (endurance regime): a median over a handful of
-    # ratios is noise — hold the previous scale below 8 supports — and a
-    # single bad frame must not step the scale by more than 2x (measured
-    # failure mode: associations momentarily drop to zero at low feature
-    # density and the raw median spiked 10x, wrecking the chain).
+    # Long-run robustness (endurance regime): the reference step magnitude
+    # is the motion model's LAST COMMITTED step — re-anchored every frame
+    # to the PnP-committed motion (7b), so the ratio median below is a
+    # one-shot measurement, never a compounding chain. (The median itself
+    # is ~1% biased low per frame — z_rel is a small-parallax
+    # triangulation — and chaining it through state.scale decayed the
+    # world scale exponentially, measured 1.0 -> 0.05 over 200 corridor
+    # frames.) Below 8 supports the median is noise — hold the reference —
+    # and a single frame must not step the magnitude by more than 2x
+    # (measured: zero-association frames spiked the raw median 10x).
     n_ratio = ratio_ok.sum()
-    med = _masked_median(ratio, ratio_ok, state.scale)
-    scale = jnp.where(n_ratio >= 8, med, state.scale)
-    scale = jnp.clip(scale, 0.5 * state.scale, 2.0 * state.scale)
+    scale_ref = jnp.linalg.norm(state.vel[:3, 3])
+    scale_ref = jnp.where(scale_ref > 1e-6, scale_ref, state.scale)
+    med = _masked_median(ratio, ratio_ok, scale_ref)
+    # The candidate magnitude IS the motion model; the measured median only
+    # clamps it (gross-change guard after relocalization / speed jumps).
+    # Using the median directly re-introduced a compounding ~1%/frame
+    # downward push: z_rel is a unit-baseline (small-parallax) triangulation
+    # whose depth noise skews the ratio low, and the forward-translation
+    # direction is exactly where PnP (7b) is weakly conditioned, so the
+    # candidate bias survived into the committed pose.
+    scale = jnp.where(n_ratio >= 8,
+                      jnp.clip(scale_ref, 0.5 * med, 2.0 * med), scale_ref)
     scale = jnp.clip(scale, 1e-3, 1e3)
     # First tracked pair defines world scale = 1.
     scale = jnp.where(state.frame_idx <= 1, 1.0, scale)
@@ -237,86 +303,213 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps):
     map_id2 = jnp.full((N,), -1, jnp.int32)
     tgt = jnp.where(prop_src >= 0, mres.idx2, N)   # N = drop
     map_id2 = map_id2.at[tgt].set(prop_src, mode="drop")
+    # pending-track propagation: every matched keypoint (mapped or not)
+    # inherits the first-observation record of its source keypoint (the
+    # track survives re-detection; cross-checked matching keeps idx2 unique
+    # among valid). Mapped keypoints keep it for widest-baseline landmark
+    # refinement (step 8).
+    pend_src = m_valid & state.pend_valid
+    ptgt = jnp.where(pend_src, mres.idx2, N)
+    pend_uv = jnp.zeros((N, 2), jnp.float32).at[ptgt].set(
+        state.pend_uv, mode="drop")
+    pend_P = jnp.zeros((N, 3, 4), jnp.float32).at[ptgt].set(
+        state.pend_P, mode="drop")
+    pend_C = jnp.zeros((N, 3), jnp.float32).at[ptgt].set(
+        state.pend_C, mode="drop")
+    pend_desc = jnp.zeros((N, 8), jnp.uint32).at[ptgt].set(
+        state.pend_desc, mode="drop")
+    pend_par = jnp.zeros((N,), jnp.float32).at[ptgt].set(
+        state.pend_par, mode="drop")
+    pend_valid = jnp.zeros((N,), bool).at[ptgt].set(True, mode="drop")
     # propagated points get a fresh observation descriptor recorded
     new_map = ops.observe(
         state.map, map_id2, feats.desc, map_id2 >= 0, state.frame_idx
     )
 
     # 7. search-by-projection association (reference src/vslam.cpp:129-161).
-    # On a failed frame-to-frame pose, ``new_pose`` is the constant-velocity
-    # extrapolation — the association below doubles as the relocalization
-    # candidate search.
+    # ``new_pose`` here is only a CANDIDATE: the essential-chained pose on
+    # success, the constant-velocity extrapolation on failure. It seeds the
+    # projection window; the committed pose comes from the map (7b).
     P2 = cam.projection_matrix(K, new_pose)
     kp_free = feats.mask & (map_id2 < 0)
     assoc = ops.associate(new_map, P2, feats.uv, feats.desc, kp_free)
-
-    # 7b. map-based relocalization: when RANSAC failed (blackout recovery,
-    # low-texture frame), re-anchor the camera by pose-only GN on the
-    # landmarks the extrapolated pose associated (geometry/pnp.py). The
-    # reference has no recovery path at all (SURVEY.md §5).
     assoc_found = assoc.point_id >= 0
-    X_assoc = ops.gather_xyz(new_map, assoc.point_id)
 
-    def _try_reloc(_):
-        pr = pnp.refine_pose(
-            lie.inv_T(new_pose), X_assoc, feats.uv, assoc_found, K, iters=8,
-            inlier_px=cfg.triangulation.reproj_threshold_sq ** 0.5 * 1.5)
-        return pr.T_cw, pr.num_inliers
-
-    # lax.cond: the GN refine only executes on failed frames — the success
-    # path pays nothing for the recovery machinery
-    T_reloc, n_reloc = jax.lax.cond(
-        pose_ok, lambda _: (lie.inv_T(new_pose), jnp.int32(-1)),
-        _try_reloc, None)
-    reloc_ok = (~pose_ok) & (n_reloc >= cfg.ransac.min_inliers)
-    new_pose = jnp.where(reloc_ok, lie.inv_T(T_reloc), new_pose)
-    track_ok = pose_ok | reloc_ok
+    # 7b. PnP map tracking — the PRIMARY pose path (geometry/pnp.py).
+    # Pose-only GN over every keypoint that carries a map id (propagated
+    # along matches + freshly associated): 3D->2D anchoring to the map.
+    # The essential-matrix chain (5) alone compounds its per-frame scale
+    # estimate multiplicatively — measured on the 600-frame corridor it
+    # decays ~1%/frame (1.0 -> 0.05 by frame 200, with or without BA)
+    # until association dies and the chain explodes. Anchoring each pose to
+    # the landmarks themselves removes the multiplicative chain: scale
+    # errors stay O(landmark noise), corrected further by window BA. The
+    # same refine doubles as blackout relocalization (pose_ok false, the
+    # extrapolated candidate re-acquires the surviving map); the reference
+    # has no recovery path at all (SURVEY.md §5, src/Frame.cpp:56).
+    pnp_ids = jnp.where(assoc_found, assoc.point_id, map_id2)
+    pnp_mask = (pnp_ids >= 0) & feats.mask
+    X_pnp = ops.gather_xyz(new_map, pnp_ids)
+    pr = pnp.refine_pose(
+        lie.inv_T(new_pose), X_pnp, feats.uv, pnp_mask, K, iters=8,
+        inlier_px=cfg.triangulation.reproj_threshold_sq ** 0.5 * 1.5)
+    T_pnp = lie.inv_T(pr.T_cw)
+    # Trust region on the committed motion: a marginal refine (order
+    # min_inliers supports) can slide far along the weakly conditioned
+    # forward direction while still reporting its supports as inliers
+    # (measured: a 1.8 -> 4.6 unit step on 15 borderline supports, which
+    # then poisoned the motion model and the run). A step more than 2x the
+    # motion model's magnitude is not refinement; keep the candidate.
+    step_pnp = jnp.linalg.norm((lie.inv_T(state.pose) @ T_pnp)[:3, 3])
+    pnp_sane = step_pnp <= 2.0 * jnp.maximum(scale, 1e-2)
+    # Relocalization (pose_ok false — e.g. the first real frame after a
+    # blackout has a black previous frame, so frame-to-frame matching and
+    # propagation are empty and only map association feeds PnP): accept a
+    # smaller support set, compensating with a strict convergence gate —
+    # a sub-1.5px pose-only fit on >= 8 genuine landmarks re-anchors
+    # reliably, and pnp_sane still bounds the step.
+    need = jnp.where(pose_ok, cfg.ransac.min_inliers,
+                     jnp.minimum(cfg.ransac.min_inliers, 8))
+    converged = pose_ok | (pr.rmse < 1.5)
+    pnp_ok = (pr.num_inliers >= need) & pnp_sane & converged
+    new_pose = jnp.where(pnp_ok, T_pnp, new_pose)
+    track_ok = pose_ok | pnp_ok
 
     assoc_ok = assoc_found & track_ok
     map_id2 = jnp.where(assoc_ok, assoc.point_id, map_id2)
     new_map = ops.observe(new_map, assoc.point_id, feats.desc,
                           assoc_ok, state.frame_idx)
 
-    # 8. triangulate new world points (reference src/vslam.cpp:186-251) ----
-    P1 = cam.projection_matrix(K, state.pose)
-    X_w, w_abs = triangulation.triangulate_dlt(P1, P2, uv1, uv2)
-    # per-match map id of the *target* keypoint after propagation/association
-    tgt_map_id = map_id2[mres.idx2]
-    fresh = rres.inliers & (tgt_map_id < 0) & pose_ok
-    gate = triangulation.triangulation_gate(
-        P1, P2, state.pose[:3, 3], new_pose[:3, 3], X_w, uv1, uv2, w_abs,
+    # 8. DELAYED triangulation of new world points ------------------------
+    # (reference src/vslam.cpp:186-251 triangulates every consecutive pair
+    # at 1-frame baseline. Measured with the real front-end at GROUND-TRUTH
+    # poses on the synthetic corridor: median z_est/z_true = 0.990 at
+    # baseline 1 vs 0.998 at baseline 3 — small-parallax triangulation
+    # noise skews the inserted depths LOW, and a ~1%/generation shrink
+    # compounds exponentially through insert -> track -> insert (observed:
+    # map scale 1.0 -> 0.05 over 200 corridor frames, with or without BA,
+    # whether poses chain by essential-matrix scale or PnP). So: each
+    # unmapped keypoint carries its FIRST observation (pend_uv/pend_P,
+    # propagated along the match chain in step 6) and triangulates against
+    # the CURRENT view only once parallax clears
+    # cfg.triangulation.min_parallax_deg.)
+    P2 = cam.projection_matrix(K, new_pose)   # PnP may have moved the camera
+    C2 = new_pose[:3, 3]
+    X_w, w_abs = triangulation.triangulate_dlt(pend_P, P2, pend_uv, feats.uv)
+    ray1 = X_w - pend_C
+    ray2 = X_w - C2[None, :]
+    cos_par = jnp.sum(ray1 * ray2, axis=1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=1) * jnp.linalg.norm(ray2, axis=1), 1e-9)
+    par_ok = cos_par < jnp.cos(
+        jnp.deg2rad(cfg.triangulation.min_parallax_deg))
+    # epipolar consistency this frame, scattered per current keypoint
+    inl_kp = jnp.zeros((N,), bool).at[
+        jnp.where(m_valid & rres.inliers, mres.idx2, N)].set(
+            True, mode="drop")
+    # TRACK IDENTITY gate: the current descriptor must still match the
+    # track's FIRST observation. A chained match can hop to a nearby corner
+    # (per-hop mis-association compounds over a track's life), and for
+    # forward motion such identity drift is epipolar-consistent but
+    # depth-wrong — the apparent parallax it inflates is precisely what a
+    # threshold trigger selects for. Measured with ORACLE poses on the
+    # synthetic corridor: without this gate the map's depth scale is 0.93x
+    # truth by frame 10 and 0.56x by frame 50; drifted tracks pass every
+    # geometric gate because radial drift rides the epipolar line.
+    id_dist = _hamming_rows(pend_desc, feats.desc)
+    id_ok = id_dist <= cfg.triangulation.track_id_hamming_max
+    cand = (pend_valid & feats.mask & (map_id2 < 0) & inl_kp & track_ok
+            & id_ok)
+    quality = triangulation.triangulation_gate(
+        pend_P, P2, pend_C, C2, X_w, pend_uv, feats.uv, w_abs,
         reproj_threshold_sq=cfg.triangulation.reproj_threshold_sq,
         min_depth=cfg.triangulation.min_depth,
         max_depth=cfg.triangulation.max_depth,
+        min_parallax_cos=2.0,   # parallax handled by par_ok above
     )
-    insert = fresh & gate
+    insert = cand & par_ok & quality
+    # enough baseline but geometrically inconsistent: dead track, re-anchor
+    restart = cand & par_ok & ~quality
     # color: sample the image at the keypoint (grayscale -> replicated RGB;
     # the reference samples BGR with a row/col swap bug, src/vslam.cpp:248)
-    xi = jnp.clip(uv2[:, 0].astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(uv2[:, 1].astype(jnp.int32), 0, H - 1)
+    xi = jnp.clip(feats.uv[:, 0].astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(feats.uv[:, 1].astype(jnp.int32), 0, H - 1)
     gray = img[yi, xi]
     color = jnp.stack([gray, gray, gray], axis=1)
-    desc2 = feats.desc[mres.idx2]
-    new_map = ops.insert(new_map, X_w, color, desc2, insert, state.frame_idx)
+    new_map = ops.insert(new_map, X_w, color, feats.desc, insert,
+                         state.frame_idx)
+
+    # 8b. ONE-SHOT widest-baseline landmark refinement: a MAPPED keypoint
+    # whose live track has reached DOUBLE its insertion parallax
+    # re-triangulates its landmark once (same first-obs record, current
+    # view) and then freezes — the landmark's depth gets the unbiased
+    # wide-baseline estimate (undoing the small-parallax insertion bias for
+    # exactly the landmarks PnP anchors to), but does NOT keep re-conforming
+    # to the live pose chain. (Continuous refinement was measured to destroy
+    # the map's anchoring property: landmark depths re-triangulated against
+    # drifting poses track the drift, PnP conforms to the moved landmarks,
+    # and the loop ran scale 1.0 -> 13 in 40 frames. After the one shot,
+    # window BA owns the landmark.) The quality gate (reprojection in BOTH
+    # views) also rejects refinements whose stored first-obs camera has
+    # been invalidated by BA window corrections.
+    FROZEN = 1e3   # pend_par sentinel: landmark already refined
+    parallax = jnp.arccos(jnp.clip(cos_par, -1.0, 1.0))
+    refine = (pend_valid & feats.mask & (map_id2 >= 0) & track_ok & quality
+              & id_ok
+              & (pend_par < FROZEN)
+              & (parallax > 2.0 * pend_par)
+              & (parallax >
+                 2.0 * jnp.deg2rad(cfg.triangulation.min_parallax_deg)))
+    new_map = ops.update_xyz(new_map, map_id2, X_w, refine)
+
     # retire uncorroborated stale landmarks (map hygiene; the reference's
     # map only ever grows)
     new_map = ops.cull(new_map, state.frame_idx)
 
-    # newly inserted points: give the target keypoints their map ids
+    # newly inserted points: give their keypoints the new map ids
     offs = jnp.cumsum(insert.astype(jnp.int32)) - 1
     new_ids = jnp.where(insert, state.map.size + offs, -1)
     new_ids = jnp.where(new_ids < GC, new_ids, -1)
-    tgt2 = jnp.where(insert & (new_ids >= 0), mres.idx2, N)
-    map_id2 = map_id2.at[tgt2].set(new_ids, mode="drop")
+    map_id2 = jnp.where(insert & (new_ids >= 0), new_ids, map_id2)
     n_dropped = (insert & (state.map.size + offs >= GC)).sum()
     n_alive = ops.alive_count(new_map)
 
+    # pending-track refresh: mapped keypoints KEEP their record (it feeds
+    # 8b refinement while the track lives); immature tracks keep waiting;
+    # fresh detections, restarted tracks, and re-associated keypoints with
+    # no record re-anchor at this frame's committed pose (only on tracked
+    # frames — an extrapolated failure pose must not seed tracks)
+    # identity-drifted tracks restart too — their record is worthless
+    restart = restart | (pend_valid & feats.mask & ~id_ok)
+    keep = pend_valid & ~restart
+    start_new = feats.mask & ~keep & track_ok
+    pend_uv = jnp.where(keep[:, None], pend_uv, feats.uv)
+    pend_P = jnp.where(keep[:, None, None], pend_P,
+                       jnp.broadcast_to(P2[None], (N, 3, 4)))
+    pend_C = jnp.where(keep[:, None], pend_C,
+                       jnp.broadcast_to(C2[None], (N, 3)))
+    pend_desc = jnp.where(keep[:, None], pend_desc, feats.desc)
+    pend_par = jnp.where(keep, pend_par, 0.0)
+    pend_par = jnp.where(insert, parallax, pend_par)
+    pend_par = jnp.where(refine, FROZEN, pend_par)   # one shot only
+    pend_valid = keep | start_new
+
+    # motion model: the relative step actually taken this frame, updated only
+    # on success (during failures the extrapolation keeps replaying it)
+    new_vel = jnp.where(track_ok, lie.inv_T(state.pose) @ new_pose, state.vel)
+    # state.scale records the committed step magnitude (the next frame's
+    # scale_ref fallback when vel is degenerate, and the logged diagnostic)
+    step_len = jnp.linalg.norm(new_vel[:3, 3])
+    scale = jnp.where(track_ok & (step_len > 1e-6),
+                      jnp.clip(step_len, 1e-3, 1e3), scale)
     out = TrackOutput(
         pose=new_pose,
         num_matches=m_valid.sum(),
         num_inliers=rres.num_inliers,
         num_cheirality=jnp.max(votes),
         num_associated=assoc_ok.sum(),
+        num_tracked_map=pnp_mask.sum(),
+        num_pnp_inliers=pr.num_inliers,
+        num_refined=refine.sum(),
         num_new_points=insert.sum() - n_dropped,
         num_dropped_inserts=n_dropped,
         map_size=new_map.size,
@@ -329,9 +522,6 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps):
         kp_uv=feats.uv,
         kp_mask=feats.mask,
     )
-    # motion model: the relative step actually taken this frame, updated only
-    # on success (during failures the extrapolation keeps replaying it)
-    new_vel = jnp.where(track_ok, lie.inv_T(state.pose) @ new_pose, state.vel)
     new_state = TrackerState(
         pose=new_pose,
         prev=feats,
@@ -341,5 +531,11 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps):
         scale=scale,
         key=state.key,
         vel=new_vel,
+        pend_uv=pend_uv,
+        pend_P=pend_P,
+        pend_C=pend_C,
+        pend_desc=pend_desc,
+        pend_par=pend_par,
+        pend_valid=pend_valid,
     )
     return new_state, out
