@@ -31,13 +31,18 @@ class Scene:
 
 
 def _make_patches(rng, num_points: int, patch_size: int) -> np.ndarray:
-    # Patch design: low-contrast random texture (distinctive BRIEF bits per
-    # landmark) + a high-contrast checkerboard X-corner at the patch center so
-    # the Shi-Tomasi maximum localizes at the landmark's projection.
-    patches = rng.uniform(0.3, 0.7, (num_points, patch_size, patch_size)).astype(np.float32)
+    # Patch design: HIGH-contrast random binary texture (distinctive BRIEF
+    # bits per landmark that survive blur + depth downsampling — real-world
+    # corners differ in their surroundings, and a low-contrast surround made
+    # every distant landmark look like its identical center junction, which
+    # defeated descriptor identity entirely) + a high-contrast checkerboard
+    # X-corner at the patch center so the Shi-Tomasi maximum localizes at
+    # the landmark's projection.
+    patches = np.where(rng.uniform(size=(num_points, patch_size, patch_size))
+                       > 0.5, 0.85, 0.15).astype(np.float32)
     c = patch_size // 2
-    hi = rng.uniform(0.85, 1.0, (num_points, 1, 1)).astype(np.float32)
-    lo = rng.uniform(0.0, 0.15, (num_points, 1, 1)).astype(np.float32)
+    hi = rng.uniform(0.9, 1.0, (num_points, 1, 1)).astype(np.float32)
+    lo = rng.uniform(0.0, 0.1, (num_points, 1, 1)).astype(np.float32)
     q = 2  # quadrant half-size; X-junction at (c-0.5, c-0.5)
     patches[:, c - q : c, c - q : c] = hi
     patches[:, c : c + q, c : c + q] = hi

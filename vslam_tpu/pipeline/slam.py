@@ -260,6 +260,22 @@ class SLAMSystem:
             self.kf_store, self.state.map, self.cfg,
             free_tail=self.cfg.ba.free_cams,
         )
+        # Observation-starvation guard: a window whose free cameras carry
+        # almost no live observations is (near-)unconstrained — the solver
+        # can move cameras freely at ~zero cost, the trust-region baseline
+        # is itself junk, and an accepted wander write-back poisons the
+        # pose chain (measured: scale 1 -> 150 by frame 114 on a sparse
+        # corridor, ending in non-finite poses). Skip the event; tracking
+        # continues on its own.
+        n_obs = int(np.asarray(
+            (wp.problem.obs_mask & wp.problem.point_mask[:, None]).sum()))
+        n_free = int(np.asarray(
+            (wp.win_valid & ~np.asarray(wp.problem.cam_fixed)).sum()))
+        if n_obs < 8 * max(n_free, 1):
+            self.metrics.log(kind="ba", frame=self.frame_idx,
+                             skipped="starved", n_obs=n_obs, n_free=n_free,
+                             ba_result_accepted=False)
+            return
         solved, stats = ba.solve_robust(
             wp.problem, self._K, self.cfg.ba, reject_px=5.0, rounds=2
         )

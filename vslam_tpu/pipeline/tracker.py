@@ -493,6 +493,14 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps):
     pend_par = jnp.where(refine, FROZEN, pend_par)   # one shot only
     pend_valid = keep | start_new
 
+    # non-finite backstop: whatever path produced the committed pose, a
+    # NaN/inf must never enter the chain (it would poison every downstream
+    # frame, the map, and the trajectory export) — hold the previous pose
+    # and report the frame failed instead.
+    finite = jnp.isfinite(new_pose).all()
+    new_pose = jnp.where(finite, new_pose, state.pose)
+    track_ok = track_ok & finite
+
     # motion model: the relative step actually taken this frame, updated only
     # on success (during failures the extrapolation keeps replaying it)
     new_vel = jnp.where(track_ok, lie.inv_T(state.pose) @ new_pose, state.vel)

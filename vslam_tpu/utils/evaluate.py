@@ -44,10 +44,16 @@ def ate_rmse(est_poses: np.ndarray, gt_poses: np.ndarray, with_scale: bool = Tru
     """
     p_est = est_poses[:, :3, 3]
     p_gt = gt_poses[:, :3, 3]
-    s, R, t = umeyama_alignment(p_est, p_gt, with_scale=with_scale)
-    aligned = (s * (R @ p_est.T)).T + t
-    err = np.linalg.norm(aligned - p_gt, axis=1)
-    return float(np.sqrt((err ** 2).mean())), aligned, err
+    # Robustness: evaluate over finite rows only (a crashed/diverged run
+    # must yield a number plus the finite fraction, not an SVD error).
+    ok = np.isfinite(p_est).all(axis=1) & np.isfinite(p_gt).all(axis=1)
+    if ok.sum() < 3:
+        bad = np.full(len(p_est), np.inf)
+        return float("inf"), p_est, bad
+    s, R, t = umeyama_alignment(p_est[ok], p_gt[ok], with_scale=with_scale)
+    aligned = (s * (R @ np.where(np.isfinite(p_est), p_est, 0.0).T)).T + t
+    err = np.where(ok, np.linalg.norm(aligned - p_gt, axis=1), np.inf)
+    return float(np.sqrt((err[ok] ** 2).mean())), aligned, err
 
 
 def rpe(est_poses: np.ndarray, gt_poses: np.ndarray, delta: int = 1):
