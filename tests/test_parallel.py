@@ -37,6 +37,50 @@ class TestShardedRansac:
         assert precision > 0.9, precision
         assert recall > 0.7, recall
 
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_pose_hypsharded_selects_same_model(self, n_dev):
+        """ransac_pose with the hypothesis batch sharded over a mesh must
+        pick the same model the unsharded program picks from the SAME
+        global sample batch (identical key -> identical (H, 8) sets; union
+        of per-device top-k contains the global top-k; stage-2 full-N
+        re-scoring is replicated). Ref: the cross-device reduction the
+        reference's CUDA sketch gestures at, src/ransac.cu:20-24."""
+        import functools
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from vslam_tpu.geometry import ransac as ransac_mod
+
+        K, T1, T2, uv1, uv2, vis, _, is_out = _two_view_setup(
+            noise=0.3, outlier_frac=0.3
+        )
+        uv1, uv2, vis = map(jnp.asarray, (uv1, uv2, vis))
+        Kj = jnp.asarray(K, jnp.float32)
+        key = jax.random.PRNGKey(3)
+        H = 512
+
+        ref = ransac_mod.ransac_pose(
+            key, uv1, uv2, vis, Kj, num_hypotheses=H)
+
+        mesh = mesh_mod.make_mesh("shard", n_dev)
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=(P(), P(), P()),
+                           out_specs=P(), check_vma=False)
+        def run(uv1, uv2, vis):
+            return sharded_ransac.ransac_pose_hypsharded(
+                "shard", n_dev, key, uv1, uv2, vis, Kj, num_hypotheses=H)
+
+        res = run(uv1, uv2, vis)
+        assert bool(res.success)
+        # same selected model -> same physically-consistent inlier decisions
+        # (bool masks are robust to the SPMD f32 re-tiling drift) and the
+        # same refined pose to f32 tolerance
+        agree = (np.asarray(res.inliers) == np.asarray(ref.inliers)).mean()
+        assert agree > 0.99, agree
+        np.testing.assert_allclose(np.asarray(res.R), np.asarray(ref.R),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(res.t), np.asarray(ref.t),
+                                   atol=1e-3)
+
 
 class TestShardedMap:
     def _populated_map(self, capacity=1024, n_pts=700, seed=0):

@@ -5,11 +5,17 @@ proves the full pipeline runs with the map's point axis sharded across a
 mesh for an entire tracked sequence — insert, observe, cull, maintenance,
 window BA and write-back all operating on the sharded arrays — with:
 
-  * bit-identical trajectories across mesh sizes (2 == 4 == 8 devices):
-    the step runs under shard_map (parallel/sharded_tracker.py) where all
-    non-map compute is replicated per device and map collectives are exact
-    (lexicographic int arg-best; one-contributor psum gathers), so the
-    numbers cannot depend on the device count;
+  * the RANSAC hypothesis batch ALSO sharded over the mesh by default
+    (MeshConfig.shard_hypotheses; parallel/sharded_ransac.py
+    ransac_pose_hypsharded) — the mode is faster per step, not just
+    bigger. Runs then agree across mesh sizes and vs unsharded to f32
+    tolerance (per-device hypothesis-slice shapes differ across mesh
+    sizes, so XLA's reduction tiling drifts stage-1 scores at epsilon);
+  * with shard_hypotheses=False, bit-identical trajectories across mesh
+    sizes (2 == 4 devices): all non-map compute is replicated per device
+    and map collectives are exact (lexicographic int arg-best;
+    one-contributor psum gathers), so the numbers cannot depend on the
+    device count;
   * identical per-frame tracking DECISIONS (matches, inliers, associations,
     map sizes, success) vs the unsharded pipeline, and poses equal to f32
     compilation tolerance. Bitwise equality vs the UNSHARDED program is not
@@ -73,7 +79,27 @@ def test_sharded_tracking_matches_unsharded():
         xyz = shd.state.map.xyz
         assert len(xyz.sharding.device_set) == n_dev, xyz.sharding
 
-    # bit-consistent across mesh sizes: 2- and 4-device runs agree EXACTLY
+    # consistent across mesh sizes. With hypothesis sharding (the default)
+    # the per-device slice shapes differ between D=2 and D=4, so stage-1
+    # scores drift at f32 epsilon — tolerance, not bitwise.
+    np.testing.assert_allclose(poses_by_n[2], poses_by_n[4], atol=5e-3)
+
+
+def test_sharded_tracking_bit_identical_when_replicated():
+    """With shard_hypotheses=False every non-map stage is replicated and
+    map collectives are exact — trajectories CANNOT depend on the device
+    count (the r03 capacity-only mode's property, retained as an option)."""
+    import dataclasses
+    cfg = CFG.replace(mesh=dataclasses.replace(CFG.mesh,
+                                               shard_hypotheses=False))
+    frames, _ = _frames(8)
+    poses_by_n = {}
+    for n_dev in (2, 4):
+        mesh = mesh_mod.make_mesh(cfg.mesh.axis_map, n_dev)
+        s = slam.SLAMSystem(cfg, seed=2, enable_ba=False, mesh=mesh)
+        for f in frames:
+            s.process(f)
+        poses_by_n[n_dev] = s.poses()
     np.testing.assert_array_equal(poses_by_n[2], poses_by_n[4])
 
 

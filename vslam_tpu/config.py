@@ -189,6 +189,14 @@ class MeshConfig:
     axis_map: str = "map"            # map-point / landmark blocks axis
     # data-parallel axis name used when running multiple sequences
     axis_data: str = "data"
+    # In sharded-map tracking mode, also split the RANSAC hypothesis batch
+    # over the map axis (per-device fits + subset scores, all_gather'd
+    # top-k, replicated full-N selection — parallel/sharded_tracker.py).
+    # This makes a mesh run FASTER, not just bigger: RANSAC is the
+    # dominant tracking stage (KERNELS_r04.md) and its stage-1 cost then
+    # scales ~1/D. Off: every device fits the full batch redundantly
+    # (the r03 capacity-only behavior, bit-identical across mesh sizes).
+    shard_hypotheses: bool = True
 
 
 @dataclass(frozen=True)

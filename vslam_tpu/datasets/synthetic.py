@@ -30,16 +30,34 @@ class Scene:
     color: np.ndarray      # (P, 3) RGB in [0,1]
 
 
+def _box3(p: np.ndarray) -> np.ndarray:
+    """3x3 box filter over the last two axes, edge-padded (numpy-only)."""
+    pp = np.pad(p, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    out = np.zeros_like(p)
+    for dy in range(3):
+        for dx in range(3):
+            out += pp[:, dy:dy + p.shape[1], dx:dx + p.shape[2]]
+    return out / 9.0
+
+
 def _make_patches(rng, num_points: int, patch_size: int) -> np.ndarray:
     # Patch design: HIGH-contrast random binary texture (distinctive BRIEF
     # bits per landmark that survive blur + depth downsampling — real-world
     # corners differ in their surroundings, and a low-contrast surround made
     # every distant landmark look like its identical center junction, which
-    # defeated descriptor identity entirely) + a high-contrast checkerboard
-    # X-corner at the patch center so the Shi-Tomasi maximum localizes at
-    # the landmark's projection.
+    # defeated descriptor identity entirely), SMOOTHED by a 3x3 box so the
+    # surround's gradient energy stays well below the center junction's:
+    # the raw binary texture put Shi-Tomasi corners at its own junctions —
+    # several near-identical detections per patch, which the Lowe ratio
+    # test then rejected (~20% fewer matches) and which restarted feature
+    # tracks before they could mature past the parallax gate (measured:
+    # map 32 vs 48 points after 6 frames; 250-frame corridor ATE 1.01
+    # sharp-binary vs 0.11 smoothed-binary vs 0.22 old-low-contrast).
+    # A high-contrast checkerboard X-corner at the patch center makes the
+    # Shi-Tomasi maximum localize at the landmark's projection.
     patches = np.where(rng.uniform(size=(num_points, patch_size, patch_size))
                        > 0.5, 0.85, 0.15).astype(np.float32)
+    patches = _box3(patches)
     c = patch_size // 2
     hi = rng.uniform(0.9, 1.0, (num_points, 1, 1)).astype(np.float32)
     lo = rng.uniform(0.0, 0.1, (num_points, 1, 1)).astype(np.float32)

@@ -301,7 +301,8 @@ def refine_pose_gn(R, t, K, uv1, uv2, w, iters: int = 16,
 
 def refine_pose_gn_multistart(R, t, K, uv1, uv2, w, iters: int = 16,
                               huber_px: float = 1.0,
-                              spread_deg=(30.0, 60.0)):
+                              spread_deg=(30.0, 60.0),
+                              extra_starts=None):
     """Multi-start robust pose polish: run refine_pose_gn from the given
     (R, t) plus a fan of translation-direction perturbations on t's tangent
     plane, and keep the result with the lowest final robust cost.
@@ -314,6 +315,12 @@ def refine_pose_gn_multistart(R, t, K, uv1, uv2, w, iters: int = 16,
     rotation is well-observed — only t-direction needs basin coverage — so
     1 + 4*len(spread_deg) starts suffice. All starts run as one vmap; the
     selection is a single argmin, branch-free under jit.
+
+    ``extra_starts``: optional (Rs (E,3,3), ts (E,3)) appended to the fan —
+    e.g. the 4 decompositions of a consensus-refit essential matrix
+    (geometry/ransac.py LO step). They cost nothing extra in latency: the
+    scan depth is unchanged and the per-iteration work is batched over
+    starts.
     """
     B = _t_basis(t)  # (3, 2)
     angs = jnp.deg2rad(jnp.asarray(spread_deg, t.dtype))
@@ -323,9 +330,13 @@ def refine_pose_gn_multistart(R, t, K, uv1, uv2, w, iters: int = 16,
         d = B[:, 0] * sx + B[:, 1] * sy
         dirs.append(ca[:, None] * t[None, :] + sa[:, None] * d[None, :])
     t0s = jnp.concatenate([t[None, :]] + dirs, axis=0)     # (S, 3)
+    R0s = jnp.broadcast_to(R, (t0s.shape[0], 3, 3))
+    if extra_starts is not None:
+        Re, te = extra_starts
+        t0s = jnp.concatenate([t0s, te], axis=0)
+        R0s = jnp.concatenate([R0s, Re], axis=0)
     t0s = t0s / (jnp.linalg.norm(t0s, axis=1, keepdims=True) + 1e-12)
     S = t0s.shape[0]
-    R0s = jnp.broadcast_to(R, (S, 3, 3))
 
     run = lambda R0, t0: refine_pose_gn(R0, t0, K, uv1, uv2, w,
                                         iters=iters, huber_px=huber_px)

@@ -202,6 +202,9 @@ def ransac_pose(
     refine: bool = True,
     fit_sweeps: int = 4,
     vote_stride: int = 6,
+    verify_stride: int = 4,
+    topk: int = 16,
+    refine_iters: int = 10,
 ) -> PoseRansacResult:
     """Relative-pose RANSAC with cheirality-aware model selection.
 
@@ -212,8 +215,18 @@ def ransac_pose(
     runner-up model had 0.6 deg). Here every hypothesis is decomposed to its
     four (R, t) candidates and scored by the number of Sampson inliers that
     are also in front of BOTH cameras — the physically meaningful consensus.
-    All H x 4 candidate checks are branch-free elementwise work that XLA
-    fuses into the vote reduction; no (H, 4, N) tensor is materialized.
+
+    Two-stage verification (KERNELS_r04 §RANSAC): the (H, N) residual
+    broadcast and the (H, 4, N') depth votes dominate the stage's HBM
+    traffic, yet their only job is to RANK hypotheses — the winner's exact
+    inlier set is recomputed anyway. Stage 1 therefore scores every
+    hypothesis on a ``verify_stride``-strided subset of the matches (plus
+    the further ``vote_stride``-strided cheirality votes), and stage 2
+    re-scores only the ``topk`` leaders on the full match set, selecting
+    the final winner from those exact counts. With ~50% inlier rates a
+    768-match subset misranks the true best out of the top 16 with
+    vanishing probability, and the final selection never sees subset
+    counts.
 
     This is the completed, physically-grounded form of the reference's
     find_fundamental + extract_Rt pipeline (src/RansacFilter.cpp:36-67,
@@ -231,79 +244,21 @@ def ransac_pose(
                                                        sweeps=fit_sweeps)
     Fs = jax.vmap(fit)(uv1[idx], uv2[idx])                  # (H,3,3)
 
-    resid = epipolar.sampson_error(Fs, uv1, uv2)            # (H, N)
-    resid = jnp.where(valid_mask[None, :], resid, jnp.inf)
-    samp_inl = resid <= inlier_threshold
+    combined_v, Rs, ts = _pose_stage1(
+        Fs, uv1, uv2, valid_mask, K, inlier_threshold,
+        verify_stride, vote_stride)
 
-    # 4-way decomposition + in-front votes for every hypothesis at once.
-    # Voting uses a strided subsample of the matches: the (H, 4, N) depth
-    # check dominates HBM traffic at full N, and a few hundred votes rank
-    # candidates just as well. Full-N inliers are computed for the winner
-    # only (below).
-    Es = jnp.einsum("ji,hjk,kl->hil", K, Fs, K)             # K^T F K, (H,3,3)
-    Rs, ts = jax.vmap(epipolar.decompose_essential)(Es)     # (H,4,3,3),(H,4,3)
-    uv1s, uv2s = uv1[::vote_stride], uv2[::vote_stride]
-    z1, z2 = epipolar.triangulate_midpoint_depths(K, Rs, ts, uv1s, uv2s)
-    good = samp_inl[:, None, ::vote_stride] & (z1 > 0) & (z2 > 0)
-    votes_s = good.sum(axis=2)                              # (H, 4) sampled
-    counts = votes_s.max(axis=1)                            # (H,)
-    cand = votes_s.argmax(axis=1)                           # (H,)
-
-    # MSAC truncated loss for tie-breaking among equal counts.
-    trunc = jnp.minimum(resid, inlier_threshold)
-    trunc = jnp.where(jnp.isfinite(trunc), trunc, 0.0)
-    score = trunc.sum(axis=1)
-    combined = counts.astype(jnp.float32) - score / (score.max() + 1.0)
-    best = jnp.argmax(combined)
-
-    F = Fs[best]
-    R = Rs[best, cand[best]]
-    t = ts[best, cand[best]]
-    # Winner only: full-N cheirality-consistent inlier set + full votes.
-    z1f, z2f = epipolar.triangulate_midpoint_depths(
-        K, Rs[best], ts[best], uv1, uv2)                    # (4, N)
-    good_f = samp_inl[best][None, :] & (z1f > 0) & (z2f > 0)
-    best_votes = good_f.sum(axis=1)                         # (4,)
-    inl = good_f[cand[best]] & valid_mask
-    num = inl.sum().astype(jnp.int32)
+    # ---- stage 2: full-N re-scoring of the top-k leaders ----------------
+    k = min(int(topk), num_hypotheses)
+    _, lead = jax.lax.top_k(combined_v, k)                  # (k,)
+    F, R, t, best_votes, inl, num = _pose_stage2(
+        Fs[lead], Rs[lead], ts[lead], uv1, uv2, valid_mask, K,
+        inlier_threshold)
 
     if refine:
-        # LO step 1: least-squares F on the physically-consistent consensus,
-        # re-decomposed and re-voted; accept only if consensus grows.
-        w = inl.astype(uv1.dtype)
-        F2 = _weighted_eight_point(uv1, uv2, w)
-        r2 = epipolar.sampson_error(F2, uv1, uv2)
-        s2 = (r2 <= inlier_threshold) & valid_mask
-        E2 = K.T @ F2 @ K
-        R2c, t2c, v2 = epipolar.recover_pose(E2, K, uv1, uv2, s2)
-        z1r, z2r = epipolar.triangulate_midpoint_depths(K, R2c, t2c, uv1, uv2)
-        inl2 = s2 & (z1r > 0) & (z2r > 0)
-        num2 = inl2.sum().astype(jnp.int32)
-        better = num2 >= num
-        R = jnp.where(better, R2c, R)
-        t = jnp.where(better, t2c, t)
-        inl = jnp.where(better, inl2, inl)
-        best_votes = jnp.where(better, v2, best_votes)
-        num = jnp.where(better, num2, num)
-
-        # LO step 2: robust multi-start IRLS-LM on the essential manifold
-        # (the linear 8-point estimate is far from the ML optimum for
-        # near-forward motion; see epipolar.refine_pose_gn*). Pass the full
-        # valid mask, not the frozen consensus: the refiner re-derives
-        # robust weights per iteration, so true inliers the (possibly
-        # wrong) winner missed are reclaimed and false ones down-weighted.
-        R, t = epipolar.refine_pose_gn_multistart(
-            R, t, K, uv1, uv2, valid_mask.astype(uv1.dtype))
-        from ..core import lie
-        E3 = lie.hat(t) @ R
-        K_inv = jnp.linalg.inv(K)
-        F = K_inv.T @ E3 @ K_inv
-        F = F / (jnp.linalg.norm(F) + 1e-12)
-        r3 = epipolar.sampson_error(F, uv1, uv2)
-        s3 = (r3 <= inlier_threshold) & valid_mask
-        z1g, z2g = epipolar.triangulate_midpoint_depths(K, R, t, uv1, uv2)
-        inl = s3 & (z1g > 0) & (z2g > 0)
-        num = inl.sum().astype(jnp.int32)
+        F, R, t, inl, num = _pose_refine(
+            R, t, inl, uv1, uv2, valid_mask, K, inlier_threshold,
+            refine_iters)
 
     return PoseRansacResult(
         model=F,
@@ -316,7 +271,121 @@ def ransac_pose(
     )
 
 
-def _weighted_eight_point(uv1, uv2, w):
+def _pose_stage1(Fs, uv1, uv2, valid_mask, K, inlier_threshold,
+                 verify_stride, vote_stride, score_norm_fn=None):
+    """Subset scoring of a batch of F hypotheses.
+
+    Returns (combined (H,) selection score, Rs (H,4,3,3), ts (H,4,3)).
+    ``score_norm_fn``: optional reducer applied to the local
+    ``score.max()`` normalizer — the hypothesis-sharded caller passes
+    ``lambda m: lax.pmax(m, axis)`` so per-device scores share one global
+    normalizer and are comparable across shards.
+    """
+    from . import epipolar
+
+    sv = max(int(verify_stride), 1)
+    uv1v, uv2v = uv1[::sv], uv2[::sv]
+    maskv = valid_mask[::sv]
+    resid_v = epipolar.sampson_error(Fs, uv1v, uv2v)        # (H, N/sv)
+    resid_v = jnp.where(maskv[None, :], resid_v, jnp.inf)
+    samp_v = resid_v <= inlier_threshold
+
+    # 4-way decomposition + in-front votes for every hypothesis at once,
+    # on a further-strided subsample of the subset.
+    Es = jnp.einsum("ji,hjk,kl->hil", K, Fs, K)             # K^T F K, (H,3,3)
+    Rs, ts = jax.vmap(epipolar.decompose_essential)(Es)     # (H,4,3,3),(H,4,3)
+    vs = max(int(vote_stride) // sv, 1)
+    uv1s, uv2s = uv1v[::vs], uv2v[::vs]
+    z1, z2 = epipolar.triangulate_midpoint_depths(K, Rs, ts, uv1s, uv2s)
+    good = samp_v[:, None, ::vs] & (z1 > 0) & (z2 > 0)
+    votes_s = good.sum(axis=2)                              # (H, 4) sampled
+    counts_v = votes_s.max(axis=1)                          # (H,)
+
+    # MSAC truncated loss for tie-breaking among equal subset counts.
+    trunc = jnp.minimum(resid_v, inlier_threshold)
+    trunc = jnp.where(jnp.isfinite(trunc), trunc, 0.0)
+    score_v = trunc.sum(axis=1)
+    norm = score_v.max()
+    if score_norm_fn is not None:
+        norm = score_norm_fn(norm)
+    combined_v = counts_v.astype(jnp.float32) - score_v / (norm + 1.0)
+    return combined_v, Rs, ts
+
+
+def _pose_stage2(Fk, Rk, tk, uv1, uv2, valid_mask, K, inlier_threshold):
+    """Full-N re-scoring of the k leader hypotheses; exact winner pick.
+
+    Returns (F, R, t, votes (4,), inliers (N,), num ()).
+    """
+    from . import epipolar
+
+    resid_k = epipolar.sampson_error(Fk, uv1, uv2)          # (k, N)
+    resid_k = jnp.where(valid_mask[None, :], resid_k, jnp.inf)
+    samp_k = resid_k <= inlier_threshold
+    z1k, z2k = epipolar.triangulate_midpoint_depths(
+        K, Rk, tk, uv1, uv2)                                # (k, 4, N)
+    good_k = samp_k[:, None, :] & (z1k > 0) & (z2k > 0)
+    votes_k = good_k.sum(axis=2)                            # (k, 4)
+    counts_k = votes_k.max(axis=1)
+    cand_k = votes_k.argmax(axis=1)
+    trunc_k = jnp.minimum(resid_k, inlier_threshold)
+    trunc_k = jnp.where(jnp.isfinite(trunc_k), trunc_k, 0.0)
+    score_k = trunc_k.sum(axis=1)
+    combined_k = counts_k.astype(jnp.float32) \
+        - score_k / (score_k.max() + 1.0)
+    bk = jnp.argmax(combined_k)
+
+    F = Fk[bk]
+    R = Rk[bk, cand_k[bk]]
+    t = tk[bk, cand_k[bk]]
+    best_votes = votes_k[bk]                                # (4,) full-N
+    inl = good_k[bk, cand_k[bk]] & valid_mask
+    num = inl.sum().astype(jnp.int32)
+    return F, R, t, best_votes, inl, num
+
+
+def _pose_refine(R, t, inl, uv1, uv2, valid_mask, K, inlier_threshold,
+                 refine_iters):
+    """LO + multistart ML polish of the RANSAC winner.
+
+    LO: least-squares F on the physically-consistent consensus gives a
+    statistically stronger linear estimate; its four (R, t) decompositions
+    join the multistart fan as EXTRA STARTS rather than running as a
+    serial accept/reject stage — the r03 pipeline chained weighted-8pt ->
+    recover_pose -> re-vote -> multistart sequentially, ~1.5 ms of
+    latency-bound small kernels; as fan starts they ride the same vmap
+    for free and the robust-cost argmin keeps whichever basin wins
+    (measured equal accuracy on the forward-motion suite, KERNELS_r04.md).
+    """
+    from . import epipolar
+
+    w = inl.astype(uv1.dtype)
+    F2 = _weighted_eight_point(uv1, uv2, w, sweeps=6)
+    E2 = K.T @ F2 @ K
+    R4, t4 = epipolar.decompose_essential(E2)               # (4,3,3),(4,3)
+    # Robust multi-start IRLS-LM on the essential manifold (the linear
+    # 8-point estimate is far from the ML optimum for near-forward
+    # motion; see epipolar.refine_pose_gn*). Pass the full valid mask,
+    # not the frozen consensus: the refiner re-derives robust weights
+    # per iteration, so true inliers the (possibly wrong) winner
+    # missed are reclaimed and false ones down-weighted.
+    R, t = epipolar.refine_pose_gn_multistart(
+        R, t, K, uv1, uv2, valid_mask.astype(uv1.dtype),
+        iters=refine_iters, extra_starts=(R4, t4))
+    from ..core import lie
+    E3 = lie.hat(t) @ R
+    K_inv = jnp.linalg.inv(K)
+    F = K_inv.T @ E3 @ K_inv
+    F = F / (jnp.linalg.norm(F) + 1e-12)
+    r3 = epipolar.sampson_error(F, uv1, uv2)
+    s3 = (r3 <= inlier_threshold) & valid_mask
+    z1g, z2g = epipolar.triangulate_midpoint_depths(K, R, t, uv1, uv2)
+    inl = s3 & (z1g > 0) & (z2g > 0)
+    num = inl.sum().astype(jnp.int32)
+    return F, R, t, inl, num
+
+
+def _weighted_eight_point(uv1, uv2, w, sweeps: int = 10):
     """Weighted least-squares F over all (masked) correspondences."""
     from . import epipolar
 
@@ -326,7 +395,7 @@ def _weighted_eight_point(uv1, uv2, w):
     n1, T1 = epipolar.hartley_normalize(uv1, mask)
     n2, T2 = epipolar.hartley_normalize(uv2, mask)
     A = epipolar._constraint_rows(n1, n2) * w[:, None]
-    F = jacobi.null_vector(A, sweeps=10).reshape(3, 3)
+    F = jacobi.null_vector(A, sweeps=sweeps).reshape(3, 3)
     F = jacobi.rank2_project(F, sweeps=8)
     F = T2.T @ F @ T1
     return F / (jnp.linalg.norm(F) + 1e-12)

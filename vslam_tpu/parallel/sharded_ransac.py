@@ -89,3 +89,94 @@ def ransac_fundamental_sharded(
     inl = jnp.where(better, inl, result.inliers)
     return result._replace(model=F, inliers=inl,
                            num_inliers=inl.sum().astype(jnp.int32))
+
+
+def ransac_pose_hypsharded(
+    axis_name: str,
+    n_dev: int,
+    key,
+    uv1,
+    uv2,
+    valid_mask,
+    K,
+    num_hypotheses: int = 2048,
+    inlier_threshold: float = 2.0,
+    min_inliers: int = 15,
+    fit_sweeps: int = 4,
+    vote_stride: int = 6,
+    verify_stride: int = 4,
+    topk: int = 16,
+    refine_iters: int = 10,
+):
+    """``geometry.ransac.ransac_pose`` with the hypothesis axis split over
+    an ALREADY-ENTERED shard_map axis (call this INSIDE the shard_map body —
+    sharded_tracker.run_sharded does).
+
+    The multi-chip completion of the reference CUDA sketch's reduction
+    (reference src/ransac.cu:20-24) for the POSE estimator: the heavy
+    stage-1 work (per-hypothesis 8-point fits + subset Sampson scores +
+    cheirality votes — the dominant tracking stage, KERNELS_r04.md) runs on
+    a 1/D slice of one GLOBAL sample batch per device; each device's local
+    top-k leaders are all_gather'd over ICI (k models + scores, tiny), the
+    union is re-ranked with a deterministic (score desc, global-index asc)
+    order, and the exact full-N stage-2 selection + LO/multistart refine
+    run replicated — so the outputs are replicated and the SELECTED MODEL
+    is the one the unsharded program would pick from the same global batch
+    (identical sampling: every device draws the same (H, 8) index batch
+    from the same key and slices its share).
+
+    Model-selection parity with the unsharded ransac_pose holds because
+    the union of per-device top-k contains the global top-k (k_local ==
+    k_global) and stage-2 scores are computed identically; per-hypothesis
+    f32 stage-1 scores can drift at compilation-tiling level across batch
+    shapes, which only matters for near-exact score ties among leaders
+    (tests/test_sharded_tracking.py asserts the selection agreement).
+    """
+    from ..geometry.ransac import (PoseRansacResult, _pose_refine,
+                                   _pose_stage1, _pose_stage2)
+
+    H = num_hypotheses
+    assert H % n_dev == 0, (H, n_dev)
+    Hl = H // n_dev
+    # one GLOBAL sample batch, identical on every device (the (H, 8) int
+    # sampling is negligible next to one device's fits)
+    idx = ransac_mod.sample_minimal_sets(
+        key, valid_mask.astype(jnp.float32), H, 8)          # (H, 8)
+    me = jax.lax.axis_index(axis_name)
+    idx_l = jax.lax.dynamic_slice_in_dim(idx, me * Hl, Hl, axis=0)
+
+    from ..geometry import epipolar
+    fit = lambda s1, s2: epipolar.fundamental_from_8pt(s1, s2,
+                                                       sweeps=fit_sweeps)
+    Fs = jax.vmap(fit)(uv1[idx_l], uv2[idx_l])              # (Hl,3,3)
+
+    cv, Rs, ts = _pose_stage1(
+        Fs, uv1, uv2, valid_mask, K, inlier_threshold, verify_stride,
+        vote_stride,
+        score_norm_fn=lambda m: jax.lax.pmax(m, axis_name))
+
+    k = min(int(topk), Hl)
+    sc_l, lead_l = jax.lax.top_k(cv, k)                     # local leaders
+    gid_l = me * Hl + lead_l                                # global hyp ids
+
+    # gather the k leaders of every device: (D*k) candidates, tiny payload
+    sc = jax.lax.all_gather(sc_l, axis_name).reshape(-1)
+    gid = jax.lax.all_gather(gid_l, axis_name).reshape(-1)
+    Fg = jax.lax.all_gather(Fs[lead_l], axis_name).reshape(-1, 3, 3)
+    Rg = jax.lax.all_gather(Rs[lead_l], axis_name).reshape(-1, 4, 3, 3)
+    tg = jax.lax.all_gather(ts[lead_l], axis_name).reshape(-1, 4, 3)
+
+    # deterministic global re-rank: score desc, global index asc on ties —
+    # the same order a single top_k over the full batch would produce
+    order = jnp.lexsort((gid, -sc))
+    sel = order[:k]
+    F, R, t, best_votes, inl, num = _pose_stage2(
+        Fg[sel], Rg[sel], tg[sel], uv1, uv2, valid_mask, K,
+        inlier_threshold)
+    F, R, t, inl, num = _pose_refine(
+        R, t, inl, uv1, uv2, valid_mask, K, inlier_threshold, refine_iters)
+
+    return PoseRansacResult(
+        model=F, R=R, t=t, inliers=inl, num_inliers=num,
+        votes=best_votes, success=num >= min_inliers,
+    )

@@ -213,8 +213,16 @@ def track_step(state: TrackerState, img, cfg: VSLAMConfig,
     return _step_impl(state, img, cfg, default_map_ops(cfg, W, H))
 
 
-def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps):
-    """The tracking step body, parameterized over the map backend."""
+def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
+               pose_fn=None):
+    """The tracking step body, parameterized over the map backend.
+
+    ``pose_fn``: optional replacement for the robust relative-pose stage
+    (same signature as the ransac.ransac_pose call below) — the sharded
+    tracking mode passes the hypothesis-sharded variant
+    (parallel/sharded_ransac.ransac_pose_hypsharded) so the dominant
+    stage's cost scales ~1/D across the mesh instead of replicating.
+    """
     H, W = cfg.camera.height, cfg.camera.width
     K = jnp.asarray(cfg.camera.K())
     N = cfg.frontend.max_keypoints
@@ -236,7 +244,7 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps):
     m_valid = mres.mask
 
     # 3. robust F -> E -> (R, t), cheirality-aware selection ---------------
-    rres = ransac.ransac_pose(
+    rres = (pose_fn or ransac.ransac_pose)(
         key, uv1, uv2, m_valid, K,
         num_hypotheses=cfg.ransac.num_hypotheses,
         inlier_threshold=cfg.ransac.inlier_threshold,
