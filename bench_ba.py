@@ -49,7 +49,11 @@ def _fetch(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
 
-def make_problem(n_cams=20, n_pts=8192, k_obs=16, noise_px=0.5, seed=0):
+def make_problem(n_cams=20, n_pts=8192, k_obs=16, noise_px=0.5, seed=0,
+                 corridor=False):
+    """``corridor=True`` anchors landmarks along the trajectory (KITTI-00
+    shape: hundreds of cameras over a long path, each landmark visible
+    from a local stretch) instead of a fixed box every camera sees."""
     import jax.numpy as jnp
     from vslam_tpu.datasets import synthetic
     from vslam_tpu.optimizer import ba
@@ -58,8 +62,13 @@ def make_problem(n_cams=20, n_pts=8192, k_obs=16, noise_px=0.5, seed=0):
     K = np.array([[718.856, 0, 607.19], [0, 718.856, 185.22], [0, 0, 1.0]],
                  np.float32)
     poses = synthetic.make_trajectory(n_cams, step=1.0, seed=seed)
-    scene = synthetic.make_scene(num_points=n_pts, seed=seed,
-                                 extent=(60, 15, 120), z_min=4.0)
+    if corridor:
+        scene = synthetic.make_corridor_scene(
+            poses, num_points=n_pts, seed=seed, lateral=20.0, vertical=6.0,
+            ahead=(4.0, 60.0))
+    else:
+        scene = synthetic.make_scene(num_points=n_pts, seed=seed,
+                                     extent=(60, 15, 120), z_min=4.0)
     xyz = scene.xyz
     obs_cam = np.zeros((n_pts, k_obs), np.int32)
     obs_uv = np.zeros((n_pts, k_obs, 2), np.float32)
@@ -248,11 +257,30 @@ def scaling_model(breakdown, n_cams):
             "ici_bytes_per_sec": ICI_BYTES_PER_S, "rows": rows}
 
 
+def race_assemblies(problem, K, assemblies=("scatter", "onehot"),
+                    base_iters=8):
+    race = {}
+    for assembly in assemblies:
+        per_iter, stats = measure_iters_per_sec(problem, K, assembly,
+                                                base_iters=base_iters)
+        race[assembly] = {
+            "sec_per_lm_iteration": round(per_iter, 6),
+            "lm_iterations_per_sec": round(1.0 / per_iter, 2),
+            "initial_cost": float(stats.initial_cost),
+            "final_cost": float(stats.final_cost),
+            "accepted_steps": int(np.asarray(stats.accepted).sum()),
+        }
+        print(f"assembly={assembly}: {per_iter * 1e3:.2f} ms/LM-iter "
+              f"({1.0 / per_iter:.1f} it/s)", flush=True)
+    return race
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="virtual-mesh parity instead of chip timing")
-    ap.add_argument("--out", default="BENCH_BA_r03.json")
+    ap.add_argument("--out", default="BENCH_BA_r04.json")
+    ap.add_argument("--skip-kitti-scale", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -271,18 +299,7 @@ def main():
         result["cpu_mesh_parity"] = parity_cpu_mesh(problem, K)
         path = args.out.replace(".json", "_parity.json")
     else:
-        race = {}
-        for assembly in ("scatter", "onehot"):
-            per_iter, stats = measure_iters_per_sec(problem, K, assembly)
-            race[assembly] = {
-                "sec_per_lm_iteration": round(per_iter, 6),
-                "lm_iterations_per_sec": round(1.0 / per_iter, 2),
-                "initial_cost": float(stats.initial_cost),
-                "final_cost": float(stats.final_cost),
-                "accepted_steps": int(np.asarray(stats.accepted).sum()),
-            }
-            print(f"assembly={assembly}: {per_iter * 1e3:.2f} ms/LM-iter "
-                  f"({1.0 / per_iter:.1f} it/s)")
+        race = race_assemblies(problem, K)
         result["assembly_race"] = race
         winner = min(race, key=lambda a: race[a]["sec_per_lm_iteration"])
         result["single_chip"] = dict(race[winner], assembly=winner)
@@ -291,6 +308,50 @@ def main():
             / race[winner]["sec_per_lm_iteration"], 2)
         result["breakdown"] = measure_breakdown(problem, K, winner)
         result["scaling_model"] = scaling_model(result["breakdown"], n_cams)
+
+        if not args.skip_kitti_scale:
+            # ---- KITTI-00-scale global BA (VERDICT r03 next #6): -------
+            # hundreds of cameras, ~10^5 corridor landmarks, scatter
+            # assembly past the one-hot threshold. BASELINE metric 3's
+            # numerator at the scale the metric is about.
+            gc, gp, gk = 256, 65536, 8
+            gprob, gK = make_problem(gc, gp, gk, corridor=True, seed=1)
+            import jax.numpy as jnp
+            n_live = int(np.asarray(gprob.point_mask.sum()))
+            n_obs = int(np.asarray(
+                (gprob.obs_mask & gprob.point_mask[:, None]).sum()))
+            print(f"kitti00-scale problem: {gc} cams, {n_live} live "
+                  f"landmarks, {n_obs} observations", flush=True)
+            grace = race_assemblies(gprob, gK, base_iters=4)
+            gw = min(grace, key=lambda a: grace[a]["sec_per_lm_iteration"])
+            gbreak = measure_breakdown(gprob, gK, gw)
+            result["kitti00_scale"] = {
+                "problem": {"cams": gc, "points": gp, "obs_slots": gk,
+                            "live_landmarks": n_live, "observations": n_obs},
+                "assembly_race": grace,
+                "single_chip": dict(grace[gw], assembly=gw),
+                "breakdown": gbreak,
+                "scaling_model": scaling_model(gbreak, gc),
+            }
+
+            # ---- auto-switch threshold validation: race both assemblies
+            # over the camera axis at fixed landmark load ----------------
+            rows = []
+            for c in (16, 32, 64, 128):
+                p, pk = make_problem(c, 16384, 8, corridor=True, seed=2)
+                r = race_assemblies(p, pk, base_iters=4)
+                rows.append({
+                    "cams": c,
+                    "onehot_ms": r["onehot"]["sec_per_lm_iteration"] * 1e3,
+                    "scatter_ms": r["scatter"]["sec_per_lm_iteration"] * 1e3,
+                    "winner": min(r, key=lambda a:
+                                  r[a]["sec_per_lm_iteration"]),
+                })
+                print(f"threshold race cams={c}: {rows[-1]}", flush=True)
+            result["assembly_threshold_race"] = {
+                "fixed_points": 16384, "obs_slots": 8, "rows": rows,
+                "config_threshold_cams": 64,
+            }
         path = args.out
     with open(path, "w") as f:
         json.dump(result, f, indent=2)

@@ -1,0 +1,157 @@
+"""Device-resident endurance: a long run at TPU speed, full pipeline.
+
+    python scripts/endurance_device.py [--frames 500] \
+        [--out artifacts/endurance_device_r04]
+
+VERDICT r03 weak #5: the host-CPU endurance artifact proves lifecycle
+correctness but the full *pipeline* (maintenance + window BA + write-back,
+not just track_step) had never run at TPU speed — the dev-tunnel transport
+makes streaming host-rendered frames to the chip transport-bound. Here the
+synthetic corridor frames are rendered ON the device
+(datasets/synthetic_device.py — scene uploaded once), and the full
+SLAMSystem semantics run against them: keyframe selection, map maintenance
+(LRU evict + compact + remap), window-BA cadence with the trust-region /
+gauge / starvation guards, and a full-coverage global BA at the end.
+
+What remains host-bound and is reported as such: the per-frame scalar
+fetch (SLAMSystem.process device_get's the TrackOutput for metrics and
+keyframe decisions) and BA-event orchestration — both independent of frame
+content. The pure device compute rate for tracking is bench.py's number;
+this artifact's fps is the end-to-end system rate on this transport.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--out", default="artifacts/endurance_device_r04")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--full", action="store_true",
+                    help="run at the DEFAULT (full) config — 1248x384, "
+                         "3072 kp, 2048 hypotheses — instead of "
+                         "small_config (VERDICT r03 weak #6: all e2e "
+                         "quality evidence was small-config)")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vslam_tpu.config import VSLAMConfig, small_config
+    from vslam_tpu.datasets import synthetic, synthetic_device
+    from vslam_tpu.pipeline import slam
+    from vslam_tpu.utils import evaluate
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = VSLAMConfig() if args.full else small_config()
+    cfg = cfg.replace(pipeline=dataclasses.replace(
+        cfg.pipeline, keyframe_every=5, max_keyframes=256, local_ba_every=5))
+    with open(os.path.join(args.out, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    K = cfg.camera.K()
+    W, H = cfg.camera.width, cfg.camera.height
+    print(f"backend={jax.default_backend()} devices={jax.devices()}",
+          flush=True)
+
+    step = 1.0 if args.full else 0.6
+    density = 150 if args.full else 60
+    poses = synthetic.make_trajectory(args.frames, step=step, seed=args.seed)
+    scene = synthetic.make_corridor_scene(
+        poses, num_points=args.frames * density, seed=args.seed,
+        lateral=20.0 if args.full else 14.0)
+    t0 = time.perf_counter()
+    xyz = jnp.asarray(scene.xyz)
+    patches = jnp.asarray(scene.patches)
+    Kj = jnp.asarray(K)
+    poses_d = jnp.asarray(poses)
+    np.asarray(xyz[0])  # fetch barrier: the scene upload is done
+    print(f"scene upload ({scene.xyz.nbytes + scene.patches.nbytes} B): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+    s = slam.SLAMSystem(cfg, metrics_path=os.path.join(args.out,
+                                                       "metrics.jsonl"),
+                        seed=args.seed)
+    t_start = time.perf_counter()
+    n_succ = 0
+    for i in range(args.frames):
+        img = synthetic_device.render_frame_device(
+            xyz, patches, Kj, poses_d[i], W, H)
+        info = s.process(img)
+        n_succ += int(info.get("success", True))
+        if i % 100 == 0:
+            print(f"frame {i}: {info.get('map_size', 0)} map points, "
+                  f"{time.perf_counter() - t_start:.1f}s elapsed", flush=True)
+    wall = time.perf_counter() - t_start
+
+    est = s.poses()
+    ate, _, _ = evaluate.ate_rmse(est, poses.astype(np.float64))
+    rpe_t, rpe_r = evaluate.rpe(est, poses.astype(np.float64))
+
+    t_gba = time.perf_counter()
+    s.run_global_ba()
+    gba_s = time.perf_counter() - t_gba
+    kf = s.keyframe_poses()
+    kf_frames = np.asarray(s.kf_store.kf_frame)
+    kf_frames = np.sort(kf_frames[kf_frames >= 0])
+    ate_kf, _, _ = evaluate.ate_rmse(kf, poses[kf_frames].astype(np.float64))
+
+    rows = [json.loads(l) for l in open(os.path.join(args.out,
+                                                     "metrics.jsonl"))]
+    ba_ev = [r for r in rows if r.get("kind") == "ba"]
+    maint = [r for r in rows if r.get("kind") == "map_maintenance"]
+    frames = [r for r in rows if r.get("kind") == "frame"
+              and "num_dropped_inserts" in r]
+
+    report = {
+        "backend": jax.default_backend(),
+        "frames": args.frames,
+        "fps_end_to_end": round(args.frames / wall, 2),
+        "wall_s": round(wall, 1),
+        "ate_rmse": float(ate),
+        "ate_rmse_keyframes_after_global_ba": float(ate_kf),
+        "rpe_trans": float(rpe_t),
+        "rpe_rot_deg": float(rpe_r),
+        "success_rate": n_succ / args.frames,
+        "window_ba_events": len(ba_ev),
+        "window_ba_accepted": sum(bool(r.get("ba_result_accepted", True))
+                                  for r in ba_ev),
+        "maintenance_runs": len(maint),
+        "dropped_inserts_total": sum(r["num_dropped_inserts"]
+                                     for r in frames),
+        "global_ba_wall_s": round(gba_s, 1),
+        "global_ba_coverage": s.last_global_ba_coverage,
+        "note": "end-to-end system rate on the dev-tunnel transport "
+                "(per-frame scalar fetches + BA orchestration are "
+                "host round-trips); pure device tracking rate is "
+                "bench.py's number",
+    }
+    with open(os.path.join(args.out, "endurance.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+    # ---- asserted bounds -------------------------------------------------
+    assert report["success_rate"] == 1.0, report["success_rate"]
+    assert math.isfinite(report["rpe_trans"])
+    assert report["ate_rmse"] < 2.0, report["ate_rmse"]
+    assert report["window_ba_events"] > 0
+    assert report["dropped_inserts_total"] == 0
+    g = report["global_ba_coverage"]
+    assert g["dropped_points"] == 0 and g["dropped_obs"] == 0, g
+    print("DEVICE ENDURANCE OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r03 next #2): everything not marked ``slow``
+    is ``quick``. ``pytest -m quick`` is the pre-commit tier (< 5 min on
+    the 8-device CPU mesh); the full suite adds the multi-minute
+    sharded-tracking / multi-process / mesh-fan tests."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)

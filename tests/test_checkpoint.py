@@ -1,6 +1,7 @@
 """Checkpoint/resume: save mid-sequence, restore into a fresh system, and
 verify the resumed run is bit-identical to an uninterrupted one."""
 import numpy as np
+import pytest
 import jax
 
 from vslam_tpu.config import small_config
@@ -13,6 +14,7 @@ K = CFG.camera.K()
 W, H = CFG.camera.width, CFG.camera.height
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path):
     scene = synthetic.make_scene(num_points=600, seed=4, extent=(14, 6, 40),
                                  z_min=6.0)

@@ -21,6 +21,7 @@ import textwrap
 import time
 
 import numpy as np
+import pytest
 
 from vslam_tpu.config import small_config
 from vslam_tpu.datasets import synthetic
@@ -70,6 +71,7 @@ class TestKillResumeMidBA:
         assert resumed_ba_frames == [f for f in full_ba_frames
                                      if f >= resume_at]
 
+    @pytest.mark.slow
     def test_sigkill_worker_resume(self, tmp_path):
         """A real OS-level kill: the worker checkpoints every frame and is
         SIGKILLed mid-run; resuming from its last complete checkpoint must

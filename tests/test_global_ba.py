@@ -1,5 +1,6 @@
 """Global BA over all keyframes must tighten the keyframe trajectory."""
 import numpy as np
+import pytest
 
 from tests.test_slam import _run, _kf_ate
 
@@ -16,6 +17,7 @@ def test_global_ba_improves_ate():
     assert after < before * 0.8, (before, after)
 
 
+@pytest.mark.slow
 def test_global_ba_covers_sequence_with_zero_truncation():
     """The global problem is sized from the keyframe store, so a sequence
     whose unique-landmark count exceeds the sliding-window cap

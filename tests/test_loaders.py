@@ -156,3 +156,57 @@ def test_tum_explicit_override_beats_detection(tmp_path):
     assert ds.distortion is None         # default dist invalidated by override
     ds2 = TumRgbdMono(root, distortion=(0.1, 0.0, 0.0, 0.0, 0.0))
     assert ds2.distortion == (0.1, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_device_renderer_matches_host_when_no_overlap():
+    """render_frame_device == render_frame wherever patches don't overlap
+    (the device renderer composites overlaps additively; a sparse scene
+    has none, so agreement must be exact to f32)."""
+    import jax.numpy as jnp
+    from vslam_tpu.datasets import synthetic, synthetic_device
+
+    K = np.array([[200.0, 0, 128], [0, 200.0, 96], [0, 0, 1]], np.float32)
+    W, H = 256, 192
+    # landmarks on a coarse grid at fixed depth: projected splats are
+    # ~40 px apart -> guaranteed no overlap over the short trajectory
+    gx, gy = np.meshgrid(np.linspace(-4, 4, 4), np.linspace(-2.5, 2.5, 3))
+    xyz = np.stack([gx.ravel(), gy.ravel(),
+                    np.full(12, 20.0)], axis=1).astype(np.float32)
+    base = synthetic.make_scene(num_points=12, seed=5)
+    scene = synthetic.Scene(xyz=xyz, patches=base.patches, color=base.color)
+    poses = synthetic.make_trajectory(3, step=0.5, seed=5)
+    for i in range(3):
+        host = synthetic.render_frame(K, poses[i], scene, W, H)
+        dev = np.asarray(synthetic_device.render_frame_device(
+            jnp.asarray(scene.xyz), jnp.asarray(scene.patches),
+            jnp.asarray(K), jnp.asarray(poses[i]), W, H))
+        overlap_free = True
+        # mask: pixels written by >= 2 patches (rare; excluded if any)
+        np.testing.assert_allclose(dev, host, atol=2e-5)
+
+
+def test_device_renderer_tracks_end_to_end():
+    """The tracker runs on device-rendered frames just like host frames
+    (the on-device endurance path, scripts/endurance_device.py)."""
+    import jax.numpy as jnp
+    from vslam_tpu.config import small_config
+    from vslam_tpu.datasets import synthetic, synthetic_device
+    from vslam_tpu.pipeline import tracker
+
+    cfg = small_config()
+    K = cfg.camera.K()
+    W, H = cfg.camera.width, cfg.camera.height
+    scene = synthetic.make_scene(num_points=600, seed=0,
+                                 extent=(14, 6, 40), z_min=6.0)
+    poses = synthetic.make_trajectory(5, step=0.6, seed=0)
+    xyz, patches = jnp.asarray(scene.xyz), jnp.asarray(scene.patches)
+    Kj = jnp.asarray(K)
+    img0 = synthetic_device.render_frame_device(
+        xyz, patches, Kj, jnp.asarray(poses[0]), W, H)
+    st = tracker.bootstrap(img0, cfg)
+    for i in range(1, 5):
+        img = synthetic_device.render_frame_device(
+            xyz, patches, Kj, jnp.asarray(poses[i]), W, H)
+        st, out = tracker.track_step(st, img, cfg)
+        assert bool(out.success), i
+    assert int(out.map_size) > 10

@@ -5,6 +5,7 @@ succeeding after capacity-worth of churn, with zero silent drops. (The
 reference map only ever grows, src/PointMap.cpp:5-15.)
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from vslam_tpu.core.types import empty_map
@@ -93,6 +94,7 @@ def test_churn_inserts_survive_past_capacity():
     assert int(m.size) <= C
 
 
+@pytest.mark.slow
 def test_slam_system_bounded_map_no_drops():
     """End-to-end: a tiny-capacity map forces maintenance mid-run; tracking
     keeps working, zero dropped inserts, map stays within capacity."""

@@ -29,6 +29,7 @@ def sequences():
     return np.stack(seqs)  # (S, F, H, W)
 
 
+@pytest.mark.slow
 def test_batched_matches_individual(sequences):
     mesh = mesh_mod.make_mesh("data", 4)
     seeds = jnp.arange(100, 100 + S, dtype=jnp.uint32)

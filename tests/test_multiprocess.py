@@ -116,6 +116,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_sharded_ba(tmp_path):
     port = _free_port()
     out_path = str(tmp_path / "mp_result.json")

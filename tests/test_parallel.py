@@ -20,6 +20,7 @@ def mesh8():
 
 
 class TestShardedRansac:
+    @pytest.mark.slow
     def test_matches_quality_of_single_device(self, mesh8):
         K, T1, T2, uv1, uv2, vis, _, is_out = _two_view_setup(
             noise=0.3, outlier_frac=0.4
@@ -37,6 +38,7 @@ class TestShardedRansac:
         assert precision > 0.9, precision
         assert recall > 0.7, recall
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("n_dev", [2, 8])
     def test_pose_hypsharded_selects_same_model(self, n_dev):
         """ransac_pose with the hypothesis batch sharded over a mesh must

@@ -29,6 +29,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.slow  # multi-minute mesh runs
+
 from vslam_tpu.config import small_config
 from vslam_tpu.datasets import synthetic
 from vslam_tpu.parallel import mesh as mesh_mod

@@ -173,13 +173,19 @@ class BAConfig:
     damping_down: float = 0.5
     huber_delta: float = 2.0         # robust loss on reprojection residual (px)
     # How the reduced camera system is assembled (optimizer/ba.py):
-    #   "auto"    — one-hot matmul assembly up to 64 cameras (window BA; no
-    #               scatters, MXU-only — measured 8.2x on the
-    #               BASELINE-config-3 problem, BENCH_BA_r03.json), blocked
-    #               scatter-add beyond (global BA: one-hot cost grows as C^2)
+    #   "auto"    — one-hot matmul assembly (no scatters, MXU-only) up to
+    #               onehot_max_cams, blocked scatter-add beyond. The r04
+    #               race (BENCH_BA_r04.json) shows one-hot winning at EVERY
+    #               measured size — 8.6x at 20 cams (window BA) and still
+    #               4.0x at 256 cams x 64k landmarks x 508k obs (KITTI-00
+    #               scale): the Schur product is one (6C, 3P)x(3P, 6C)
+    #               matmul, and XLA lowers colliding scatter-adds to a
+    #               serial loop. The threshold is now a MEMORY bound, not a
+    #               speed crossover: the (P, C, 6, 3) aggregated factors
+    #               reach ~2.4 GB at C=256/P=64k and scale as C*P.
     #   "onehot" | "scatter" — force one
     schur_assembly: str = "auto"
-    onehot_max_cams: int = 64
+    onehot_max_cams: int = 256
 
 
 @dataclass(frozen=True)

@@ -193,11 +193,16 @@ def _schur_reduce(r, w, J_c, J_p, problem: BAProblem, lam, block: int = 512,
         B = Σ_k E·W contracted per point. All MXU work, no scatters; cost
         scales with C² but at C≲64 (window BA) it is much faster on TPU
         than scatter-adding P·K² 6x6 blocks (XLA lowers colliding scatters
-        to a serial loop): measured 8.2x end-to-end per LM iteration on the
-        BASELINE-config-3 problem (BENCH_BA_r03.json assembly race;
-        19.4 ms vs 159.4 ms per iteration, identical cost trajectories).
+        to a serial loop). The r04 race (BENCH_BA_r04.json) shows one-hot
+        winning at EVERY measured size: 8.6x at 20 cams (window BA,
+        18.6 ms/iter) and 4.0x at 256 cams x 64k landmarks x 508k obs
+        (KITTI-00-scale global BA, 120 ms/iter) — the S product is one
+        (6C, 3P)x(3P, 6C) matmul, pure MXU. The auto threshold
+        (BAConfig.onehot_max_cams = 256) is a MEMORY bound: the (P, C,
+        6, 3) aggregated factors scale as C*P (~2.4 GB at the measured
+        ceiling), not a speed crossover.
       * "scatter" — the original blocked scatter-add; cost independent of
-        C, used for very large global problems (run_global_ba switches).
+        C, the fallback beyond the one-hot memory ceiling.
 
     Returns S (6C, 6C), b (6C,), plus landmark back-sub data
     (Hpp_inv (P,3,3), b_p (P,3)) — local to the shard.

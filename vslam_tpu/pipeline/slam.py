@@ -249,10 +249,50 @@ class SLAMSystem:
         t_fix = -np.einsum("wij,wj->wi", R, C_fix)
         T_out = T_cw_new.copy()
         T_out[free, :3, 3] = t_fix[free]
+        # Rescale ONLY landmarks observed by free cameras (ADVICE r03):
+        # landmarks seen exclusively by anchored cameras were solved
+        # against unmoved poses — dividing them by s would make them
+        # inconsistent with those cameras, and accepted events write the
+        # corrupted rows back to the live map.
         X = np.asarray(solved.points)
-        X_fix = pivot[None] + (X - pivot[None]) / s
+        pt_free = obs_free.any(axis=1) & pmask
+        X_fix = np.where(pt_free[:, None],
+                         pivot[None] + (X - pivot[None]) / s, X)
         return solved.replace(T_cw=jnp.asarray(T_out),
                               points=jnp.asarray(X_fix)), s
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _window_starved(wp) -> tuple:
+        """Observation-starvation guard: a window whose free cameras carry
+        almost no live observations is (near-)unconstrained — the solver
+        can move cameras freely at ~zero cost, the trust-region baseline
+        is itself junk, and an accepted wander write-back poisons the
+        pose chain (measured: scale 1 -> 150 by frame 114 on a sparse
+        corridor, ending in non-finite poses). Returns
+        (starved, n_obs, n_free); tests/test_guards.py constructs the
+        pathology directly."""
+        n_obs = int(np.asarray(
+            (wp.problem.obs_mask & wp.problem.point_mask[:, None]).sum()))
+        n_free = int(np.asarray(
+            (wp.win_valid & ~np.asarray(wp.problem.cam_fixed)).sum()))
+        return n_obs < 8 * max(n_free, 1), n_obs, n_free
+
+    @staticmethod
+    def _ba_event_accepted(wp, solved) -> tuple:
+        """Trust region on the whole (re-gauged) BA outcome: a window
+        camera moving further than half its inter-keyframe baseline is
+        correction noise, not refinement — reject the event, keep
+        tracking's state. Returns (accepted, max_move, median_baseline);
+        tests/test_guards.py constructs both branches directly."""
+        t_old = np.asarray(wp.problem.T_cw)[:, :3, 3]
+        t_new = np.asarray(solved.T_cw)[:, :3, 3]
+        valid = np.asarray(wp.win_valid)
+        move = np.linalg.norm(t_new - t_old, axis=1)[valid]
+        steps = np.linalg.norm(np.diff(t_old[valid], axis=0), axis=1)
+        baseline = float(np.median(steps)) if len(steps) else 1.0
+        max_move = float(move.max()) if len(move) else 0.0
+        return max_move <= max(0.5 * baseline, 1e-3), max_move, baseline
 
     # ------------------------------------------------------------------
     def _run_window_ba(self):
@@ -260,18 +300,8 @@ class SLAMSystem:
             self.kf_store, self.state.map, self.cfg,
             free_tail=self.cfg.ba.free_cams,
         )
-        # Observation-starvation guard: a window whose free cameras carry
-        # almost no live observations is (near-)unconstrained — the solver
-        # can move cameras freely at ~zero cost, the trust-region baseline
-        # is itself junk, and an accepted wander write-back poisons the
-        # pose chain (measured: scale 1 -> 150 by frame 114 on a sparse
-        # corridor, ending in non-finite poses). Skip the event; tracking
-        # continues on its own.
-        n_obs = int(np.asarray(
-            (wp.problem.obs_mask & wp.problem.point_mask[:, None]).sum()))
-        n_free = int(np.asarray(
-            (wp.win_valid & ~np.asarray(wp.problem.cam_fixed)).sum()))
-        if n_obs < 8 * max(n_free, 1):
+        starved, n_obs, n_free = self._window_starved(wp)
+        if starved:
             self.metrics.log(kind="ba", frame=self.frame_idx,
                              skipped="starved", n_obs=n_obs, n_free=n_free,
                              ba_result_accepted=False)
@@ -292,18 +322,7 @@ class SLAMSystem:
         # camera, which BA cannot move. Where scale IS well observed the
         # measured factor is ~1 and this is a no-op.
         solved, gauge_s = self._pin_window_gauge(wp, solved)
-        # Trust region on the whole (re-gauged) BA outcome: a window camera
-        # moving further than half its inter-keyframe baseline is
-        # correction noise, not refinement — reject the event, keep
-        # tracking's state.
-        t_old = np.asarray(wp.problem.T_cw)[:, :3, 3]
-        t_new = np.asarray(solved.T_cw)[:, :3, 3]
-        valid = np.asarray(wp.win_valid)
-        move = np.linalg.norm(t_new - t_old, axis=1)[valid]
-        steps = np.linalg.norm(np.diff(t_old[valid], axis=0), axis=1)
-        baseline = float(np.median(steps)) if len(steps) else 1.0
-        max_move = float(move.max()) if len(move) else 0.0
-        ba_accepted = max_move <= max(0.5 * baseline, 1e-3)
+        ba_accepted, max_move, baseline = self._ba_event_accepted(wp, solved)
         if ba_accepted:
             self.kf_store, new_map, T_corr = keyframes.apply_window_result(
                 self.kf_store, self.state.map, wp, solved
@@ -346,9 +365,10 @@ class SLAMSystem:
         keyframe store on the host (rounded up to shape buckets so compile
         caches hit) so that a full run optimizes with ZERO truncation —
         wp.n_dropped_points == wp.n_dropped_obs == 0, logged below. The
-        Schur assembly automatically switches to the scatter form past 64
-        cameras (BAConfig.schur_assembly="auto"), whose cost is independent
-        of the camera count.
+        Schur assembly stays one-hot (MXU matmuls) up to 256 cameras —
+        measured 4x faster than scatter even at KITTI-00 scale
+        (BENCH_BA_r04.json) — and falls back to scatter-add beyond that
+        memory ceiling (BAConfig.schur_assembly="auto").
 
         With a mesh, runs the landmark-sharded distributed solver
         (parallel/sharded_ba.py).

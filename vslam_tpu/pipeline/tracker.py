@@ -120,6 +120,34 @@ def _hamming_rows(d1, d2):
     return jnp.sum(jax.lax.population_count(d1 ^ d2), axis=1).astype(jnp.int32)
 
 
+def pnp_commit_ok(prev_pose, T_pnp, scale, pose_ok, num_inliers, rmse,
+                  min_inliers):
+    """Whether the PnP-refined pose may be COMMITTED (step 7b).
+
+    Trust region on the committed motion: a marginal refine (order
+    min_inliers supports) can slide far along the weakly conditioned
+    forward direction while still reporting its supports as inliers
+    (measured: a 1.8 -> 4.6 unit step on 15 borderline supports, which
+    then poisoned the motion model and the run). A step more than 2x the
+    motion model's magnitude is not refinement; keep the candidate.
+
+    Relocalization (pose_ok false — e.g. the first real frame after a
+    blackout has a black previous frame, so frame-to-frame matching and
+    propagation are empty and only map association feeds PnP): accept a
+    smaller support set, compensating with a strict convergence gate —
+    a sub-1.5px pose-only fit on >= 8 genuine landmarks re-anchors
+    reliably, and the trust region still bounds the step.
+
+    Standalone (pure, jittable) so tests/test_guards.py can construct the
+    runaway-refine pathology directly.
+    """
+    step_pnp = jnp.linalg.norm((lie.inv_T(prev_pose) @ T_pnp)[:3, 3])
+    pnp_sane = step_pnp <= 2.0 * jnp.maximum(scale, 1e-2)
+    need = jnp.where(pose_ok, min_inliers, jnp.minimum(min_inliers, 8))
+    converged = pose_ok | (rmse < 1.5)
+    return (num_inliers >= need) & pnp_sane & converged
+
+
 def _masked_median(x, mask, fallback):
     """Median of x where mask, else fallback. Static-shape via sort."""
     big = jnp.where(mask, x, jnp.inf)
@@ -362,24 +390,9 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
         lie.inv_T(new_pose), X_pnp, feats.uv, pnp_mask, K, iters=8,
         inlier_px=cfg.triangulation.reproj_threshold_sq ** 0.5 * 1.5)
     T_pnp = lie.inv_T(pr.T_cw)
-    # Trust region on the committed motion: a marginal refine (order
-    # min_inliers supports) can slide far along the weakly conditioned
-    # forward direction while still reporting its supports as inliers
-    # (measured: a 1.8 -> 4.6 unit step on 15 borderline supports, which
-    # then poisoned the motion model and the run). A step more than 2x the
-    # motion model's magnitude is not refinement; keep the candidate.
-    step_pnp = jnp.linalg.norm((lie.inv_T(state.pose) @ T_pnp)[:3, 3])
-    pnp_sane = step_pnp <= 2.0 * jnp.maximum(scale, 1e-2)
-    # Relocalization (pose_ok false — e.g. the first real frame after a
-    # blackout has a black previous frame, so frame-to-frame matching and
-    # propagation are empty and only map association feeds PnP): accept a
-    # smaller support set, compensating with a strict convergence gate —
-    # a sub-1.5px pose-only fit on >= 8 genuine landmarks re-anchors
-    # reliably, and pnp_sane still bounds the step.
-    need = jnp.where(pose_ok, cfg.ransac.min_inliers,
-                     jnp.minimum(cfg.ransac.min_inliers, 8))
-    converged = pose_ok | (pr.rmse < 1.5)
-    pnp_ok = (pr.num_inliers >= need) & pnp_sane & converged
+    pnp_ok = pnp_commit_ok(state.pose, T_pnp, scale, pose_ok,
+                           pr.num_inliers, pr.rmse,
+                           cfg.ransac.min_inliers)
     new_pose = jnp.where(pnp_ok, T_pnp, new_pose)
     track_ok = pose_ok | pnp_ok
 
