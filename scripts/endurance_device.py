@@ -55,9 +55,20 @@ def main():
     from vslam_tpu.utils import evaluate
 
     os.makedirs(args.out, exist_ok=True)
+    # MetricsLogger appends; a fresh artifact must not inherit a prior
+    # run's rows
+    mpath = os.path.join(args.out, "metrics.jsonl")
+    if os.path.exists(mpath):
+        os.remove(mpath)
     cfg = VSLAMConfig() if args.full else small_config()
     cfg = cfg.replace(pipeline=dataclasses.replace(
         cfg.pipeline, keyframe_every=5, max_keyframes=256, local_ba_every=5))
+    if not args.full:
+        # capacity sized so the ~1.7 inserts/frame corridor rate crosses the
+        # maintenance high-water mark mid-run — the lifecycle (LRU evict +
+        # compact + remap) must be exercised at TPU speed, not just on the
+        # host-CPU artifact
+        cfg = cfg.replace(map=dataclasses.replace(cfg.map, capacity=1024))
     with open(os.path.join(args.out, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
@@ -67,18 +78,16 @@ def main():
           flush=True)
 
     step = 1.0 if args.full else 0.6
-    density = 150 if args.full else 60
+    density = 150 if args.full else 100
     poses = synthetic.make_trajectory(args.frames, step=step, seed=args.seed)
-    scene = synthetic.make_corridor_scene(
-        poses, num_points=args.frames * density, seed=args.seed,
-        lateral=20.0 if args.full else 14.0)
     t0 = time.perf_counter()
-    xyz = jnp.asarray(scene.xyz)
-    patches = jnp.asarray(scene.patches)
     Kj = jnp.asarray(K)
-    poses_d = jnp.asarray(poses)
-    np.asarray(xyz[0])  # fetch barrier: the scene upload is done
-    print(f"scene upload ({scene.xyz.nbytes + scene.patches.nbytes} B): "
+    poses_d = jnp.asarray(poses)     # (F, 4, 4) — the only scene upload
+    xyz, patches = synthetic_device.make_corridor_scene_device(
+        jax.random.PRNGKey(args.seed), poses_d, args.frames * density,
+        lateral=20.0 if args.full else 14.0)
+    np.asarray(xyz[0])  # fetch barrier: scene generation done on device
+    print(f"device scene gen ({args.frames * density} landmarks): "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
 
     s = slam.SLAMSystem(cfg, metrics_path=os.path.join(args.out,
@@ -148,6 +157,8 @@ def main():
     assert report["ate_rmse"] < 2.0, report["ate_rmse"]
     assert report["window_ba_events"] > 0
     assert report["dropped_inserts_total"] == 0
+    if not args.full:
+        assert report["maintenance_runs"] >= 1, "lifecycle not exercised"
     g = report["global_ba_coverage"]
     assert g["dropped_points"] == 0 and g["dropped_obs"] == 0, g
     print("DEVICE ENDURANCE OK")

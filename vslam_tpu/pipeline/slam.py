@@ -79,7 +79,12 @@ class SLAMSystem:
         # cap//10 dominates and this is the old 0.9 * cap.
         headroom = max(cap // 10, min(cap // 2, cfg.frontend.max_keypoints))
         self._maint_high_water = cap - headroom
-        self._maint_min_free = max(cap // 8, 1)
+        # min_free must clear the high-water mark with slack, or one
+        # maintenance pass leaves size above it and maintenance re-fires
+        # every frame, perpetually evicting live anchors (measured at
+        # cap=1024: headroom 256 > the old cap//8=128 floor -> 174
+        # maintenance runs in 500 frames and the tracker lost its map).
+        self._maint_min_free = max(cap // 8, headroom + max(cap // 16, 1))
         self.dropped_inserts_total = 0
         self.maintenance_runs = 0
 
