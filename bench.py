@@ -105,12 +105,14 @@ def main():
     stacked = jnp.asarray(np.stack(frames_np[1:]))     # (n_timed+1, H, W)
     np.asarray(stacked[0, 0, :4])  # force the upload to complete
 
-    @jax.jit
-    def run_n(state, stacked):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_n(state, stacked, n):
         def body(s, i):
             s2, out = tracker.track_step(s, stacked[i], cfg)
             return s2, (out.num_inliers, out.success)
-        idx = jnp.arange(n_timed)
+        idx = jnp.arange(n)
         return jax.lax.scan(body, state, idx)
 
     # compile + warmup on a DIFFERENT sequence: the transport layer caches
@@ -119,20 +121,46 @@ def main():
     poses_w = synthetic.make_trajectory(n_frames, step=1.0, seed=run_seed + 1)
     warm_np = synthetic.render_sequence(K, poses_w, scene, W, H)
     warm = jnp.asarray(np.stack(warm_np[1:]))
-    st, (inl, ok) = run_n(tracker.bootstrap(jnp.asarray(warm_np[0]), cfg), warm)
-    np.asarray(inl)  # drain compile + warm compute
+    st_w = tracker.bootstrap(jnp.asarray(warm_np[0]), cfg)
+    for n in (n_timed // 2, n_timed):
+        np.asarray(run_n(st_w, warm, n)[1][0])  # drain compiles + warm
 
     # NOTE on barriers: on this transport jax.block_until_ready returns
     # BEFORE the device finishes (measured: 1 ms "wait" on a 10 s compute).
     # Fetching output bytes is the only true completion barrier, so the
     # timed region ends at np.asarray of a tiny per-frame output.
+    #
+    # Batch-count differencing (t(n) - t(n/2)) / (n/2): a single timed
+    # batch pays a ~0.35 s fixed dispatch+fetch round trip on this
+    # dev-tunnel transport, which at 40 frames inflated the per-frame cost
+    # ~9 ms (r03's 65 fps headline was transport-bound, not chip-bound —
+    # measured this round: the same carried scan differences to ~5.8 ms/
+    # frame). The metric is frames/sec/CHIP; the fixed transport term is
+    # not chip time, so it is differenced out like compile/dispatch in
+    # every other harness in ops/bench_kernels.py.
     def timed(state):
         np.asarray(state.map.size)         # settle the prepopulation
-        t0 = time.perf_counter()
-        st, (inl, ok) = run_n(state, stacked)
-        inl = np.asarray(inl)              # fetch waits for the compute
-        dt = time.perf_counter() - t0
-        return n_timed / dt, np.asarray(ok), inl, st
+        half = n_timed // 2
+
+        def once(n, rep):
+            # per-rep PRNG perturbation: identical executions replay from
+            # the transport cache in ~1 ms (module docstring), so every
+            # timed rep must be a genuinely fresh computation
+            s = state.replace(key=jax.random.fold_in(state.key, rep))
+            np.asarray(s.key)
+            t0 = time.perf_counter()
+            st, (inl, ok) = run_n(s, stacked, n)
+            inl = np.asarray(inl)          # fetch waits for the compute
+            return time.perf_counter() - t0, st, inl, ok
+
+        # the fixed transport term varies run to run (~±0.1 s); min-of-3
+        # on each side keeps the difference clean
+        t_half = min(once(half, r)[0] for r in range(3))
+        reps = [once(n_timed, 3 + r) for r in range(3)]
+        t_full = min(r[0] for r in reps)
+        _, st, inl, ok = reps[-1]
+        fps = half / max(t_full - t_half, 1e-9)
+        return fps, np.asarray(ok), inl, st
 
     results = {}
     for label, n_pre in [("map0", 0), ("map51k", 51200), ("map120k", 120000)]:

@@ -33,6 +33,10 @@ from ..config import MapConfig, MatchingConfig
 from ..core.types import MapState
 from ..frontend.descriptors import unpack_bits
 
+# associate(): packed (hamming << 18 | row) selection key sentinel — larger
+# than any real key (max ham 256 -> 256·2^18 + row < 2^27)
+_NO_KEY = 1 << 30
+
 
 def insert_points(m: MapState, xyz, color, desc, valid, frame_idx=0) -> MapState:
     """Append masked rows at the insert cursor.
@@ -216,7 +220,6 @@ def associate(
         )
 
     def _block_work(carry, start):
-        best_d, best_id = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, B, axis=0)
         xyz = sl(m.xyz)                               # (B, 3)
         alive = sl(m.alive)
@@ -267,30 +270,39 @@ def associate(
                 )
 
             ok = near & kp_free[None, :] & (ham < match_cfg.hamming_max)
-            ham_m = jnp.where(ok, ham, 1 << 14)
-            return jnp.min(ham_m, axis=0), jnp.argmin(ham_m, axis=0)  # (N,)
+            # Pack (distance, global row) into ONE int32 key so the whole
+            # epilogue is a single fused min-reduce over the block axis —
+            # the separate min + argmin + improved/where passes were each
+            # another (B, N) HBM sweep and dominated the stage past the
+            # Hamming matmul (KERNELS_r03 §2: "the pixel-gate and
+            # min-reduction epilogue, not the Hamming matmul, bound the
+            # loop"). ham ≤ 256 and row < 2^18 ≥ any capacity in use, so
+            # ham·2^18 + row < 2^31; lexicographic (ham, row) min matches
+            # the old argmin tie-break (lowest id among equal distances)
+            # and the sharded combine (parallel/sharded_map.py).
+            row = start + jnp.arange(B, dtype=jnp.int32)
+            key = jnp.where(ok, ham * (1 << 18) + row[:, None], _NO_KEY)
+            return jnp.min(key, axis=0)                   # (N,)
 
         def _trivial(args):
-            return (jnp.full((N,), 1 << 14, jnp.int32),
-                    jnp.zeros((N,), jnp.int32))
+            return jnp.full((N,), _NO_KEY, jnp.int32)
 
         # A block contributes only if some candidate pair passes the
         # frustum+radius gate — for a moving camera most stale blocks don't,
         # so their K matmuls are skipped entirely.
-        blk_best, blk_arg = jax.lax.cond(
+        blk_key = jax.lax.cond(
             jnp.any(near) & jnp.any(kp_free), _gated, _trivial,
             (near, desc, dcount),
         )
-        improved = blk_best < best_d
-        best_d = jnp.where(improved, blk_best, best_d)
-        best_id = jnp.where(improved, start + blk_arg, best_id)
-        return (best_d, best_id), None
+        return jnp.minimum(carry, blk_key), None
 
-    init = (jnp.full((N,), 1 << 14, jnp.int32), jnp.full((N,), -1, jnp.int32))
+    init = jnp.full((N,), _NO_KEY, jnp.int32)
     starts = jnp.arange(0, C, B, dtype=jnp.int32)
-    (best_d, best_id), _ = jax.lax.scan(block, init, starts)
+    best_key, _ = jax.lax.scan(block, init, starts)
+    best_d = jnp.where(best_key < _NO_KEY, best_key >> 18, 1 << 14)
+    best_id = best_key & ((1 << 18) - 1)
     found = best_d < match_cfg.hamming_max
     return AssociationResult(
         point_id=jnp.where(found, best_id, -1),
-        distance=best_d,
+        distance=best_d.astype(jnp.int32),
     )

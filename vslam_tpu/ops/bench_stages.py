@@ -27,7 +27,7 @@ def main(map_size: int = 51200):
     from ..core.types import empty_map
     from ..datasets import synthetic
     from ..frontend.frame import extract_features
-    from ..geometry import ransac, triangulation
+    from ..geometry import pnp, ransac, triangulation
     from ..mapping import point_map
     from ..matching import matcher
     from ..pipeline import tracker
@@ -88,11 +88,25 @@ def main(map_size: int = 51200):
              m, P2, feats1.uv + eps(i), feats1.desc ^ i, feats1.mask,
              cfg.map, cfg.matching, W, H).point_id),
         ("insert+cull (map ops)", 64,
-         lambda i: point_map.cull_stale(
-             point_map.insert_points(
-                 m, xyz[:3072] + eps(i)[None], jnp.zeros((3072, 3)),
-                 desc[:3072] ^ i, jnp.ones(3072, bool)),
-             jnp.asarray(100, jnp.int32)).size),
+         # sum the mutated arrays, not just .size — returning only the
+         # cursor lets XLA DCE every scatter (the r03 0.037 ms was a
+         # DCE'd no-op program)
+         lambda i: (lambda m2: m2.xyz.sum() + m2.alive.sum()
+                    + m2.last_seen.sum())(
+             point_map.cull_stale(
+                 point_map.insert_points(
+                     m, xyz[:3072] + eps(i)[None], jnp.zeros((3072, 3)),
+                     desc[:3072] ^ i, jnp.ones(3072, bool)),
+                 jnp.asarray(100, jnp.int32)))),
+        ("observe (archive scatter)", 64,
+         lambda i: point_map.add_observations(
+             m, jnp.arange(3072, dtype=jnp.int32) * 4 + (i % 4).astype(jnp.int32),
+             feats1.desc ^ i, feats1.mask,
+             jnp.asarray(7, jnp.int32)).desc_count.sum()),
+        ("pnp refine (8 GN iters, 3072 pts)", 16,
+         lambda i: pnp.refine_pose(
+             jnp.eye(4) + eps(i) * 0.0, xyz[:3072] + eps(i)[None],
+             feats1.uv, feats1.mask, Kj, iters=8).T_cw),
     ]
 
     total = 0.0
@@ -120,16 +134,22 @@ def main(map_size: int = 51200):
         def body(s, i):
             s2, out = tracker.track_step(s, img1 + eps(i + offset), cfg)
             return s2, out.num_inliers
-        _, inl = jax.lax.scan(body, state,
-                              jnp.arange(n, dtype=jnp.uint32))
-        return inl.sum()
+        st, inl = jax.lax.scan(body, state,
+                               jnp.arange(n, dtype=jnp.uint32))
+        # the FINAL STATE must be a program output: with only the inlier
+        # counts live, XLA dead-code-eliminates the entire map pipeline
+        # (association, insert, observe, cull, PnP — none of it feeds
+        # num_inliers) and the "fused step" measures a tracker with no map
+        # (measured: 5.8 ms/frame DCE'd vs 12.7 ms real at map=51k; the
+        # r03 fused number 6.85 ms had this flaw — KERNELS_r04.md §2)
+        return st, inl.sum()
 
     import time as _t
 
     def timed_seq(n, off):
-        _fetch(run_seq(jnp.uint32(0), n))
+        _fetch(run_seq(jnp.uint32(0), n)[1])
         t0 = _t.perf_counter()
-        _fetch(run_seq(jnp.uint32(off), n))
+        _fetch(run_seq(jnp.uint32(off), n)[1])
         return _t.perf_counter() - t0
 
     n0 = 8
