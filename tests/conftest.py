@@ -36,6 +36,19 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.quick)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries. The full suite
+    compiles hundreds of programs (several full track_step variants on an
+    8-device mesh among them) into one process; a run was observed to
+    segfault inside XLA:CPU late in the suite with ~100 modules' worth of
+    live executables, and the same test passes in a fresh process. Bounding
+    the live-program set is cheap (cross-module cache hits were already
+    rare) and makes the suite robust."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)

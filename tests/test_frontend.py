@@ -141,3 +141,71 @@ class TestOrientation:
         pred = np.rot90(a0)[inner, inner] - np.pi / 2
         d = np.abs(np.angle(np.exp(1j * (a1[inner, inner] - pred))))
         assert np.percentile(d, 90) < 1e-3, np.percentile(d, 90)
+
+
+class TestTrackCarry:
+    def test_detect_with_carry_recovers_and_dedupes(self):
+        """features.detect_with_carry: carried predictions re-localize to a
+        nearby corner with budget priority, duplicate fresh detections are
+        dropped, and responseless predictions (background) don't produce
+        keypoints."""
+        import dataclasses
+        from vslam_tpu.config import small_config
+        from vslam_tpu.datasets import synthetic
+        from vslam_tpu.frontend import features
+
+        cfg = small_config().frontend
+        K = small_config().camera.K()
+        W, H = 256, 192
+        scene = synthetic.make_scene(num_points=200, seed=3,
+                                     extent=(10, 5, 30), z_min=6.0)
+        poses = synthetic.make_trajectory(1, seed=3)
+        img = jnp.asarray(synthetic.render_frame(K, poses[0], scene, W, H))
+
+        uv_f, sc_f, ok_f = features.detect(img, cfg, H, W)
+        uv_f, ok_f = np.asarray(uv_f), np.asarray(ok_f)
+        n_carry = 40
+        carry = np.zeros((cfg.max_keypoints, 2), np.float32)
+        cmask = np.zeros((cfg.max_keypoints,), bool)
+        # predictions 1 px off real detections (motion-model error shape)
+        carry[:n_carry] = uv_f[:n_carry] + np.array([1.0, 0.5], np.float32)
+        cmask[:n_carry] = ok_f[:n_carry]
+        # one prediction on pure background: must NOT create a keypoint
+        carry[n_carry] = [5.0 + cfg.border, 5.0 + cfg.border]
+        uv, sc, ok = features.detect_with_carry(
+            img, cfg, H, W, jnp.asarray(carry), jnp.asarray(cmask))
+        uv, ok = np.asarray(uv), np.asarray(ok)
+
+        # every carried corner survives: a keypoint within 2 px of each
+        for i in range(n_carry):
+            if not cmask[i]:
+                continue
+            d = np.linalg.norm(uv[ok] - uv_f[i], axis=1).min()
+            assert d < 2.0, (i, d)
+        # dedupe: no two valid keypoints within the NMS radius
+        d2 = ((uv[ok][:, None] - uv[ok][None, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, 1e9)
+        assert (d2 >= cfg.nms_radius ** 2).all() or \
+            (np.sqrt(d2[d2 < cfg.nms_radius ** 2]).min() > 1.0)
+
+    def test_tracker_runs_with_carry_enabled(self):
+        """track_step with track_carry on: tracks a short sequence."""
+        import dataclasses
+        from vslam_tpu.config import small_config
+        from vslam_tpu.datasets import synthetic
+        from vslam_tpu.pipeline import tracker
+
+        cfg = small_config()
+        cfg = cfg.replace(frontend=dataclasses.replace(
+            cfg.frontend, track_carry=True))
+        K = cfg.camera.K()
+        W, H = cfg.camera.width, cfg.camera.height
+        scene = synthetic.make_scene(num_points=600, seed=0,
+                                     extent=(14, 6, 40), z_min=6.0)
+        poses = synthetic.make_trajectory(5, step=0.6, seed=0)
+        frames = synthetic.render_sequence(K, poses, scene, W, H)
+        st = tracker.bootstrap(jnp.asarray(frames[0]), cfg)
+        for i in range(1, 5):
+            st, out = tracker.track_step(st, jnp.asarray(frames[i]), cfg)
+            assert bool(out.success), i
+        assert int(out.map_size) > 10

@@ -68,6 +68,19 @@ class FrontendConfig:
     # sequences (handheld video); forward-motion odometry (KITTI/TUM) does
     # not need it.
     oriented: bool = False
+    # Track carry (features.detect_with_carry): every tracked keypoint is
+    # re-localized at the response maximum near its predicted position
+    # (flow-extrapolated; landmark projection for mapped keypoints) with
+    # budget priority over fresh detections — attacking the dominant
+    # track-death mode (per-tile top-k detection is not repeatable for
+    # marginal corners; measured 33%/frame mapped-track match loss, 77%
+    # of it detector misses). Default OFF: on the 150-frame synthetic
+    # corridor it raises PnP anchoring (tracked-map keypoints 4.5 -> 6.3
+    # per frame) but the marginal corners it keeps alive localize noisily
+    # and the odometry ATE worsens 0.045 -> 0.080 — persistence of weak
+    # corners is not free. Kept as a capability for low-texture regimes
+    # where anchor DENSITY is the binding constraint.
+    track_carry: bool = False
 
 
 @dataclass(frozen=True)

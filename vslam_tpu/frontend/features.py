@@ -144,6 +144,49 @@ def _subpixel_offsets(response, ys, xs):
     return dy, dx
 
 
+def refine_tracked(resp, prev_uv, prev_mask, border: int,
+                   height: int, width: int, radius: int = 3):
+    """Re-localize carried keypoints at the local response maximum around
+    their PREDICTED positions.
+
+    The per-tile top-k selection is repeatable only for strong corners:
+    marginal ones pop in and out of a tile's top-k frame to frame, and a
+    missed detection kills the feature track (and with it the landmark's
+    map-id chain). Measured on the synthetic corridor: 33% of mapped
+    keypoints lost their match each frame, 77% of those because no
+    keypoint was detected within 3 px of the landmark's projection
+    (KERNELS_r04.md §5). A tracked corner that still has response near
+    its predicted position should survive REGARDLESS of global budget
+    competition — the KLT insight, TPU-shaped: one (N, (2r+1)^2) gather +
+    argmax per carried keypoint. The caller supplies prediction
+    (pipeline/tracker.py projects each mapped keypoint's landmark through
+    the constant-velocity pose, so the search radius only has to cover
+    motion-model error, not optical flow).
+
+    Returns (uv (N, 2), score (N,), ok (N,)).
+    """
+    n = prev_uv.shape[0]
+    xi = jnp.clip(jnp.round(prev_uv[:, 0]).astype(jnp.int32), 0, width - 1)
+    yi = jnp.clip(jnp.round(prev_uv[:, 1]).astype(jnp.int32), 0, height - 1)
+    d = jnp.arange(-radius, radius + 1)
+    wy = jnp.clip(yi[:, None, None] + d[None, :, None], 0, height - 1)
+    wx = jnp.clip(xi[:, None, None] + d[None, None, :], 0, width - 1)
+    win = resp[wy, wx].reshape(n, -1)                   # (N, (2r+1)^2)
+    flat = jnp.argmax(win, axis=1)
+    score = jnp.max(win, axis=1)
+    w = 2 * radius + 1
+    by = flat // w - radius
+    bx = flat % w - radius
+    ys = jnp.clip(yi + by, 0, height - 1)
+    xs = jnp.clip(xi + bx, 0, width - 1)
+    dy, dx = _subpixel_offsets(resp, ys, xs)
+    uv = jnp.stack([xs.astype(jnp.float32) + dx,
+                    ys.astype(jnp.float32) + dy], axis=1)
+    ok = (prev_mask & (xs >= border) & (xs < width - border)
+          & (ys >= border) & (ys < height - border) & (score > 0.0))
+    return uv, score, ok
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
 def detect(img, cfg: FrontendConfig, height: int, width: int):
     """Detect corners on a (height, width) grayscale image.
@@ -156,6 +199,48 @@ def detect(img, cfg: FrontendConfig, height: int, width: int):
     goodFeaturesToTrack: response >= quality_level * max response.
     """
     resp = corner_response(img, cfg.score, cfg.harris_k)
+    return _select(resp, cfg, height, width)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def detect_with_carry(img, cfg: FrontendConfig, height: int, width: int,
+                      carry_uv, carry_mask):
+    """detect() + carried-keypoint survival (refine_tracked).
+
+    Carried keypoints (re-localized at the response maximum around their
+    predicted positions) take PRIORITY over fresh detections in the
+    budget, and fresh detections within nms_radius of a surviving carried
+    keypoint are dropped (they are the same corner — keeping both would
+    make the ratio test reject the pair's matches as ambiguous). Carried
+    keypoints that converge onto the same corner dedupe among themselves
+    the same way.
+    """
+    n = cfg.max_keypoints
+    resp = corner_response(img, cfg.score, cfg.harris_k)
+    uv_f, sc_f, ok_f = _select(resp, cfg, height, width)
+    uv_t, sc_t, ok_t = refine_tracked(resp, carry_uv, carry_mask,
+                                      cfg.border, height, width)
+    # carried corners still satisfy the detector's quality gate
+    ok_t = ok_t & (sc_t > cfg.quality_level * jnp.max(resp))
+    # tracked-tracked dedupe: keep the lowest-index claimant of a corner
+    d2_tt = jnp.sum((uv_t[:, None] - uv_t[None, :]) ** 2, axis=-1)
+    i = jnp.arange(uv_t.shape[0])
+    clash = (d2_tt <= 2.25) & ok_t[None, :] & (i[None, :] < i[:, None])
+    ok_t = ok_t & ~clash.any(axis=1)
+    # fresh detections duplicating a surviving carried corner are dropped
+    d2 = jnp.sum((uv_f[:, None] - uv_t[None, :]) ** 2, axis=-1)
+    r2 = float((cfg.nms_radius + 1) ** 2)
+    ok_f = ok_f & ~((d2 <= r2) & ok_t[None, :]).any(axis=1)
+
+    uv = jnp.concatenate([uv_t, uv_f], axis=0)
+    sc = jnp.concatenate([sc_t, sc_f], axis=0)
+    ok = jnp.concatenate([ok_t, ok_f], axis=0)
+    pri = jnp.concatenate([sc_t + 1e9, sc_f], axis=0)   # carried outrank
+    order = jnp.argsort(jnp.where(ok, -pri, jnp.inf))[:n]
+    return uv[order], jnp.where(ok, sc, 0.0)[order], ok[order]
+
+
+def _select(resp, cfg: FrontendConfig, height: int, width: int):
     keep = nms(resp, cfg.nms_radius)
 
     H, W = height, width

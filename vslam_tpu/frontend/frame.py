@@ -19,15 +19,24 @@ from . import descriptors, features
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
-def extract_features(img, cfg: FrontendConfig, height: int, width: int) -> FrameFeatures:
+def extract_features(img, cfg: FrontendConfig, height: int, width: int,
+                     carry_uv=None, carry_mask=None) -> FrameFeatures:
     """img: (height, width) float32 grayscale in [0, 1].
+
+    ``carry_uv``/``carry_mask``: optional predicted positions of carried
+    keypoints (mapped-track survival, features.detect_with_carry); None
+    selects the plain detector.
 
     Descriptor path is config-selected: oriented steered-BRIEF (gathers,
     rotation-invariant) or dense upright BRIEF (shifted-image bit planes,
     the TPU fast path) — the two-strategy structure mirrors the reference's
     pair of extractors (src/Frame.cpp:16-51 vs :53-80).
     """
-    uv, score, mask = features.detect(img, cfg, height, width)
+    if carry_uv is not None:
+        uv, score, mask = features.detect_with_carry(
+            img, cfg, height, width, carry_uv, carry_mask)
+    else:
+        uv, score, mask = features.detect(img, cfg, height, width)
     blurred = features.gaussian_blur(img, cfg.blur_sigma)
     if cfg.oriented:
         angle = descriptors.orientations_at(blurred, uv, cfg.patch_radius)

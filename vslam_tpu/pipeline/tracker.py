@@ -69,6 +69,10 @@ class TrackerState:
                                # the track's identity card (see step 8)
     pend_par: jnp.ndarray      # (N,) f32 best parallax (rad) achieved so far
     pend_valid: jnp.ndarray    # (N,) bool — keypoint carries a live track
+    prev_flow: jnp.ndarray     # (N, 2) f32 — per-keypoint image flow of the
+                               # last match hop (median-filled for fresh
+                               # detections); predicts this frame's position
+                               # for the detector's track-carry (step 1b)
 
 
 class TrackOutput(NamedTuple):
@@ -112,6 +116,7 @@ def init_state(cfg: VSLAMConfig, seed: int = 0) -> TrackerState:
         pend_desc=jnp.zeros((n, 8), jnp.uint32),
         pend_par=jnp.zeros((n,), jnp.float32),
         pend_valid=jnp.zeros((n,), bool),
+        prev_flow=jnp.zeros((n, 2), jnp.float32),
     )
 
 
@@ -258,7 +263,41 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     key = jax.random.fold_in(state.key, state.frame_idx)
 
     # 1. features ---------------------------------------------------------
-    feats = extract_features(img, cfg.frontend, H, W)
+    # 1b. mapped-track carry: project each mapped keypoint's landmark
+    # through the constant-velocity pose and hand the predictions to the
+    # detector, which re-localizes them at the nearby response maximum
+    # with budget priority (features.detect_with_carry). The per-tile
+    # top-k detector is not repeatable for marginal corners — measured
+    # 33%/frame mapped-track match loss, 77% of it detector misses — and
+    # every lost mapped track thins the PnP anchor set and the keyframe
+    # observations window BA runs on. Prediction (not the previous pixel)
+    # is what bounds the search radius: the landmark depth and the motion
+    # model are both known BEFORE extraction, so the window only covers
+    # motion-model error, not optical flow.
+    if cfg.frontend.track_carry:
+        # every valid keypoint is carried at its FLOW-extrapolated position
+        # (per-keypoint image flow of the last match hop, state.prev_flow);
+        # mapped keypoints upgrade to the exact landmark projection through
+        # the constant-velocity pose (depth known). Either way the
+        # detector's search window only covers prediction error, not flow.
+        carry_uv = state.prev.uv + state.prev_flow
+        pred_pose = state.pose @ state.vel
+        T_cw_pred = lie.inv_T(pred_pose)
+        Xm_prev = ops.gather_xyz(state.map, state.prev_map_id)
+        Xc_pred = jnp.einsum("ij,nj->ni", T_cw_pred[:3, :3], Xm_prev) \
+            + T_cw_pred[:3, 3]
+        zp = Xc_pred[:, 2]
+        uvw = Xc_pred @ K.T
+        uv_m = uvw[:, :2] / jnp.where(jnp.abs(zp) < 1e-6, 1e-6, zp)[:, None]
+        use_m = (state.prev_map_id >= 0) & (zp > 0.1)
+        carry_uv = jnp.where(use_m[:, None], uv_m, carry_uv)
+        carry_mask = (state.prev.mask
+                      & (carry_uv[:, 0] >= 0) & (carry_uv[:, 0] < W)
+                      & (carry_uv[:, 1] >= 0) & (carry_uv[:, 1] < H))
+        feats = extract_features(img, cfg.frontend, H, W,
+                                 carry_uv, carry_mask)
+    else:
+        feats = extract_features(img, cfg.frontend, H, W)
 
     # 2. frame-to-frame matching (reference src/Frame.cpp:82-105), guided
     # by keypoint pixels (consecutive video frames: a spatial window around
@@ -357,6 +396,16 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     pend_par = jnp.zeros((N,), jnp.float32).at[ptgt].set(
         state.pend_par, mode="drop")
     pend_valid = jnp.zeros((N,), bool).at[ptgt].set(True, mode="drop")
+    # per-keypoint flow of this hop, scattered to CURRENT keypoints; fresh
+    # detections (no hop) get the median matched flow — the global image
+    # motion is the best prior for their first carry prediction
+    hop = feats.uv[mres.idx2] - state.prev.uv            # (N, 2) by source
+    med_fx = _masked_median(hop[:, 0], m_valid, 0.0)
+    med_fy = _masked_median(hop[:, 1], m_valid, 0.0)
+    new_flow = jnp.broadcast_to(jnp.stack([med_fx, med_fy]), (N, 2))
+    ftgt = jnp.where(m_valid, mres.idx2, N)
+    new_flow = new_flow.at[ftgt].set(hop, mode="drop")
+
     # propagated points get a fresh observation descriptor recorded
     new_map = ops.observe(
         state.map, map_id2, feats.desc, map_id2 >= 0, state.frame_idx
@@ -566,5 +615,6 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
         pend_desc=pend_desc,
         pend_par=pend_par,
         pend_valid=pend_valid,
+        prev_flow=new_flow,
     )
     return new_state, out
