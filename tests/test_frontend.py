@@ -170,8 +170,10 @@ class TestTrackCarry:
         # predictions 1 px off real detections (motion-model error shape)
         carry[:n_carry] = uv_f[:n_carry] + np.array([1.0, 0.5], np.float32)
         cmask[:n_carry] = ok_f[:n_carry]
-        # one prediction on pure background: must NOT create a keypoint
+        # one LIVE prediction on pure background: the response/quality
+        # gates (not the mask) must reject it
         carry[n_carry] = [5.0 + cfg.border, 5.0 + cfg.border]
+        cmask[n_carry] = True
         uv, sc, ok = features.detect_with_carry(
             img, cfg, H, W, jnp.asarray(carry), jnp.asarray(cmask))
         uv, ok = np.asarray(uv), np.asarray(ok)
@@ -182,6 +184,9 @@ class TestTrackCarry:
                 continue
             d = np.linalg.norm(uv[ok] - uv_f[i], axis=1).min()
             assert d < 2.0, (i, d)
+        # the background prediction produced no keypoint anywhere near it
+        d_bg = np.linalg.norm(uv[ok] - carry[n_carry], axis=1).min()
+        assert d_bg > 3.0, d_bg
         # dedupe: no two valid keypoints within the NMS radius
         d2 = ((uv[ok][:, None] - uv[ok][None, :]) ** 2).sum(-1)
         np.fill_diagonal(d2, 1e9)

@@ -159,9 +159,10 @@ def test_tum_explicit_override_beats_detection(tmp_path):
 
 
 def test_device_renderer_matches_host_when_no_overlap():
-    """render_frame_device == render_frame wherever patches don't overlap
-    (the device renderer composites overlaps additively; a sparse scene
-    has none, so agreement must be exact to f32)."""
+    """render_frame_device == render_frame on a scene with no overlapping
+    splats: both implement the painter's algorithm (the device renderer
+    via a two-pass z-buffer), so agreement must be exact to f32; the
+    no-overlap restriction just avoids f32 depth-tie ambiguity."""
     import jax.numpy as jnp
     from vslam_tpu.datasets import synthetic, synthetic_device
 
@@ -180,8 +181,6 @@ def test_device_renderer_matches_host_when_no_overlap():
         dev = np.asarray(synthetic_device.render_frame_device(
             jnp.asarray(scene.xyz), jnp.asarray(scene.patches),
             jnp.asarray(K), jnp.asarray(poses[i]), W, H))
-        overlap_free = True
-        # mask: pixels written by >= 2 patches (rare; excluded if any)
         np.testing.assert_allclose(dev, host, atol=2e-5)
 
 

@@ -222,14 +222,17 @@ def detect_with_carry(img, cfg: FrontendConfig, height: int, width: int,
                                       cfg.border, height, width)
     # carried corners still satisfy the detector's quality gate
     ok_t = ok_t & (sc_t > cfg.quality_level * jnp.max(resp))
-    # tracked-tracked dedupe: keep the lowest-index claimant of a corner
+    # tracked-tracked dedupe: keep the lowest-index claimant of a corner,
+    # at the SAME radius as the fresh-vs-carried dedupe below — two carried
+    # keypoints converging on one corner are exactly as ratio-test-fatal as
+    # a fresh duplicate
+    r2 = float((cfg.nms_radius + 1) ** 2)
     d2_tt = jnp.sum((uv_t[:, None] - uv_t[None, :]) ** 2, axis=-1)
     i = jnp.arange(uv_t.shape[0])
-    clash = (d2_tt <= 2.25) & ok_t[None, :] & (i[None, :] < i[:, None])
+    clash = (d2_tt <= r2) & ok_t[None, :] & (i[None, :] < i[:, None])
     ok_t = ok_t & ~clash.any(axis=1)
     # fresh detections duplicating a surviving carried corner are dropped
     d2 = jnp.sum((uv_f[:, None] - uv_t[None, :]) ** 2, axis=-1)
-    r2 = float((cfg.nms_radius + 1) ** 2)
     ok_f = ok_f & ~((d2 <= r2) & ok_t[None, :]).any(axis=1)
 
     uv = jnp.concatenate([uv_t, uv_f], axis=0)

@@ -294,7 +294,11 @@ def _pose_stage1(Fs, uv1, uv2, valid_mask, K, inlier_threshold,
     # on a further-strided subsample of the subset.
     Es = jnp.einsum("ji,hjk,kl->hil", K, Fs, K)             # K^T F K, (H,3,3)
     Rs, ts = jax.vmap(epipolar.decompose_essential)(Es)     # (H,4,3,3),(H,4,3)
-    vs = max(int(vote_stride) // sv, 1)
+    # effective global vote stride = sv * vs: round so it lands nearest
+    # the requested vote_stride (6 // 4 floored to 1 silently voted over
+    # the WHOLE verify subset — 1.5x the HBM traffic of the r03 code this
+    # stage replaced)
+    vs = max(round(int(vote_stride) / sv), 1)
     uv1s, uv2s = uv1v[::vs], uv2v[::vs]
     z1, z2 = epipolar.triangulate_midpoint_depths(K, Rs, ts, uv1s, uv2s)
     good = samp_v[:, None, ::vs] & (z1 > 0) & (z2 > 0)

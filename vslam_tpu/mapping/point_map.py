@@ -203,6 +203,11 @@ def associate(
     C = m.capacity
     B = map_cfg.block_size
     assert C % B == 0
+    # packed-key selection (below) stores the row index in the low 18 bits;
+    # a capacity past 2^18 would overflow into the distance bits and decode
+    # WRONG landmark ids with no error
+    assert C <= (1 << 18), \
+        f"map capacity {C} exceeds the 2^18 packed-key bound"
     N = kp_uv.shape[0]
     K = m.desc.shape[1]
     r_sq = match_cfg.search_radius ** 2

@@ -138,6 +138,10 @@ def ransac_pose_hypsharded(
     H = num_hypotheses
     assert H % n_dev == 0, (H, n_dev)
     Hl = H // n_dev
+    # parity requires each local top-k to be able to contain the global
+    # top-k; callers fall back to the replicated path below this
+    # (sharded_tracker.run_sharded does)
+    assert Hl >= topk, (Hl, topk)
     # one GLOBAL sample batch, identical on every device (the (H, 8) int
     # sampling is negligible next to one device's fits)
     idx = ransac_mod.sample_minimal_sets(
@@ -155,7 +159,7 @@ def ransac_pose_hypsharded(
         vote_stride,
         score_norm_fn=lambda m: jax.lax.pmax(m, axis_name))
 
-    k = min(int(topk), Hl)
+    k = int(topk)
     sc_l, lead_l = jax.lax.top_k(cv, k)                     # local leaders
     gid_l = me * Hl + lead_l                                # global hyp ids
 

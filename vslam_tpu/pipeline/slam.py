@@ -275,10 +275,18 @@ class SLAMSystem:
         is itself junk, and an accepted wander write-back poisons the
         pose chain (measured: scale 1 -> 150 by frame 114 on a sparse
         corridor, ending in non-finite poses). Returns
-        (starved, n_obs, n_free); tests/test_guards.py constructs the
-        pathology directly."""
+        (starved, n_obs_free, n_free); tests/test_guards.py constructs
+        the pathology directly.
+
+        Counts observations made BY FREE CAMERAS — anchored-camera
+        observations constrain nothing the solver can move, so a window
+        whose free cameras are empty must be starved however many
+        observations its anchors carry."""
+        fixed = np.asarray(wp.problem.cam_fixed)
+        obs_free_cam = ~fixed[np.asarray(wp.problem.obs_cam)]
         n_obs = int(np.asarray(
-            (wp.problem.obs_mask & wp.problem.point_mask[:, None]).sum()))
+            (np.asarray(wp.problem.obs_mask) & obs_free_cam
+             & np.asarray(wp.problem.point_mask)[:, None]).sum()))
         n_free = int(np.asarray(
             (wp.win_valid & ~np.asarray(wp.problem.cam_fixed)).sum()))
         return n_obs < 8 * max(n_free, 1), n_obs, n_free
@@ -289,12 +297,21 @@ class SLAMSystem:
         camera moving further than half its inter-keyframe baseline is
         correction noise, not refinement — reject the event, keep
         tracking's state. Returns (accepted, max_move, median_baseline);
-        tests/test_guards.py constructs both branches directly."""
-        t_old = np.asarray(wp.problem.T_cw)[:, :3, 3]
-        t_new = np.asarray(solved.T_cw)[:, :3, 3]
+        tests/test_guards.py constructs both branches directly.
+
+        Motion is measured between camera CENTERS (C = -R^T t), not the
+        T_cw translation columns: t = -R*C couples rotation and position,
+        so a milliradian rotation refinement of a camera far from the
+        world origin changes t by ~|C|*dtheta while the camera barely
+        moves — a ||dt|| trust region would reject every late-run event
+        of a long outbound trajectory."""
+        T_old = np.asarray(wp.problem.T_cw)
+        T_new = np.asarray(solved.T_cw)
+        C_old = -np.einsum("wji,wj->wi", T_old[:, :3, :3], T_old[:, :3, 3])
+        C_new = -np.einsum("wji,wj->wi", T_new[:, :3, :3], T_new[:, :3, 3])
         valid = np.asarray(wp.win_valid)
-        move = np.linalg.norm(t_new - t_old, axis=1)[valid]
-        steps = np.linalg.norm(np.diff(t_old[valid], axis=0), axis=1)
+        move = np.linalg.norm(C_new - C_old, axis=1)[valid]
+        steps = np.linalg.norm(np.diff(C_old[valid], axis=0), axis=1)
         baseline = float(np.median(steps)) if len(steps) else 1.0
         max_move = float(move.max()) if len(move) else 0.0
         return max_move <= max(0.5 * baseline, 1e-3), max_move, baseline
