@@ -117,7 +117,14 @@ class RansacConfig:
     """Massively parallel hypothesize-and-verify — the completed form of the
     reference's CUDA sketch (src/ransac.cu:8-26) and its 100-iteration serial
     loop (src/RansacFilter.cpp:49-66)."""
-    num_hypotheses: int = 2048       # batch dim; reference used 100 serial iters
+    # Batch dim; the reference used 100 serial iters. 2048 was the r02-r03
+    # default; with the two-stage verify + LO-seeded multistart refine the
+    # winner is recovered from a much rougher consensus, and 1024 measures
+    # statistically identical forward-motion accuracy (12-seed race,
+    # 15% outliers, 0.5 px noise: median 2.1 deg vs 2.4 at 2048, max 4.6
+    # vs 5.0) while halving the stage-1 fit+score cost; 512 starts to
+    # degrade (p90 5.7 deg, max 6.9). KERNELS_r04.md §1.
+    num_hypotheses: int = 1024
     sample_size: int = 8             # 8-point algorithm (src/RansacFilter.cpp)
     inlier_threshold: float = 2.0    # Sampson error in px (reference: 10 on an
                                      # unnormalized, buggy residual,
