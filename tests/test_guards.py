@@ -82,6 +82,7 @@ def _window(n_cams=6, n_free=2, n_pts=64, k_obs=4,
         win_slots=jnp.arange(C, dtype=jnp.int32),
         win_valid=jnp.ones(C, bool),
         sel_pid=jnp.arange(n_pts, dtype=jnp.int32),
+        sel_prov=jnp.zeros(n_pts, bool),
         n_dropped_points=jnp.zeros((), jnp.int32),
         n_dropped_obs=jnp.zeros((), jnp.int32),
         n_evicted_keyframes=jnp.zeros((), jnp.int32),

@@ -101,6 +101,21 @@ class MatchingConfig:
     guided_hamming_max: int = 80     # absolute gate within the window
                                      # (reference uses 2 px, src/vslam.cpp:149;
                                      # wider is more robust with correct poses)
+    # RE-ACQUISITION tier of search-by-projection (round-5 map-reuse work):
+    # a broken mapped track's corner usually re-enters as a fresh detection
+    # 1-2 frames later, but its descriptor vs the stored archive sits in
+    # the Hamming 64-96 band (KERNELS_r04.md §5) — above hamming_max, so
+    # the landmark dies. Raising the GLOBAL gate to 96 was measured to
+    # worsen corridor ATE ~2x through false associations; instead, only
+    # landmarks seen within the last ``reacq_max_age`` frames accept the
+    # looser ``reacq_hamming_max`` gate, and only inside the TIGHTER
+    # ``reacq_radius`` pixel window (the candidate pose is good frame to
+    # frame, so a true re-observation projects within a few px; a false
+    # candidate must land in a far smaller disc AND be recent).
+    # reacq_max_age=0 disables the tier.
+    reacq_radius: float = 6.0
+    reacq_hamming_max: int = 96
+    reacq_max_age: int = 4
     # Which Hamming-distance kernel computes the (N1, N2) matrix:
     #   "matmul"   — int8 bit-plane matmul on the MXU (matching/hamming.py)
     #   "pallas"   — fused XOR+popcount VPU kernel (ops/pallas_hamming.py);
@@ -144,6 +159,33 @@ class TriangulationConfig:
     # density cost of waiting is small; one-shot widest-baseline refinement
     # (step 8b) further debiases tracks that survive to 2x this threshold.
     min_parallax_deg: float = 2.0
+    # PROVISIONAL insertion tier (tracker step 8, MapState.prov): tracks
+    # whose accumulated parallax clears this (much lower) bar insert as
+    # provisional landmarks — association-eligible (their identity then
+    # persists in the map across the detector misses that kill ~33% of
+    # mapped-keypoint matches per frame, KERNELS_r04.md §5) but excluded
+    # from PnP anchoring and the scale-ratio estimate until the track
+    # matures to min_parallax_deg, at which point the landmark is
+    # re-triangulated at the full baseline and promoted. This thickens the
+    # anchor supply (the r04 corridor had ~14 alive landmarks in view per
+    # frame — the hard cap on PnP anchoring) without the depth-bias
+    # compounding that globally lowering min_parallax_deg was measured to
+    # reintroduce. 0 disables the tier (inserts only at min_parallax_deg).
+    prov_parallax_deg: float = 0.5
+    # Geometric promotion bar (tracker step 8b): a provisional landmark
+    # whose track accumulates THIS much parallax re-triangulates and
+    # promotes without waiting for BA. Deliberately much higher than
+    # min_parallax_deg: promotion feeds PnP anchors, and anchors promoted
+    # right at the 2 deg bar carry the ~1% low depth bias that COMPOUNDS
+    # through the anchor->pose->insert loop (measured on the corridor:
+    # committed step scale decayed 1.64 -> 0.15 over 150 frames, ATE
+    # 0.045 -> 9.0, when promotion happened at min_parallax_deg). The
+    # PRIMARY promotion path is window BA (keyframes.apply_window_result):
+    # an accepted event promotes landmarks it solved with >= 3
+    # observations — a joint pose+depth estimate has no one-sided bias to
+    # compound. This geometric bar is the fallback for BA-off runs and
+    # for landmarks BA never covers.
+    promote_parallax_deg: float = 8.0
     min_depth: float = 0.1
     max_depth: float = 500.0
     # Track-identity gate (tracker step 8): max Hamming distance between a
@@ -206,6 +248,30 @@ class BAConfig:
     #   "onehot" | "scatter" — force one
     schur_assembly: str = "auto"
     onehot_max_cams: int = 256
+    # STRUCTURE-ONLY refinement cadence (pipeline/slam.py
+    # _refine_structure), in keyframes; 0 disables. Window BA with every
+    # camera fixed = batched multi-view triangulation of the window's
+    # landmarks over the keyframe baseline: no gauge freedom, no pose
+    # write-back, cannot move the trajectory — but it replaces each
+    # provisional landmark's biased low-parallax init with a multi-view
+    # estimate and PROMOTES it (>= 3 surviving observations spanning
+    # min_parallax_deg of ray spread) into a PnP anchor. This is the
+    # anchor-minting path that breaks the anchor->pose->insert bias loop:
+    # geometric one-shot promotion at low bars was measured to decay the
+    # committed step scale 1.64 -> 0.15 over 150 corridor frames
+    # (tracker step 8b note), while anchors minted here carry the full
+    # window baseline.
+    structure_every: int = 1
+    # Propagate an accepted window-BA event's scale correction of the
+    # newest keyframe gap into the tracker's motion model (state.vel /
+    # state.scale). Requires a solid (non-provisional) gauge bridge; see
+    # pipeline/slam.py _run_window_ba. Default OFF: measured on the
+    # 150-frame corridor (kf3/lba5) the re-gauge WORSENS ATE 0.70 -> 1.30
+    # — in exploration the window's scale direction is noise-dominated
+    # and feeding its correction back into the motion model injects that
+    # noise into every subsequent frame. Kept as a capability for
+    # revisit-dominated regimes.
+    rescale_motion_model: bool = False
 
 
 @dataclass(frozen=True)

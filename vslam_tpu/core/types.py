@@ -64,6 +64,38 @@ class MapState:
     desc_count: jnp.ndarray  # (C,) i32 observations recorded (may exceed K)
     alive: jnp.ndarray       # (C,) bool
     last_seen: jnp.ndarray   # (C,) i32 frame index of latest observation
+    first_uv: jnp.ndarray    # (C, 2) f32 pixel of the landmark's FOUNDING
+                             # observation (the inserting track's first obs)
+    first_P: jnp.ndarray     # (C, 3, 4) f32 projection matrix at founding
+    first_C: jnp.ndarray     # (C, 3) f32 camera center (world) at founding
+                             # — together the map-held track memory: when a
+                             # broken track re-binds to its landmark via
+                             # association, the tracker restores its pending
+                             # record from these, so parallax maturity (and
+                             # provisional promotion) accumulates across
+                             # detector misses instead of resetting per
+                             # unbroken match segment (tracker step 9).
+    conf: jnp.ndarray        # (C,) f32 — maturity confidence: the ray-span
+                             # parallax (radians) of the landmark's last
+                             # geometric estimate (insert / promotion /
+                             # refine). PnP weights anchors by
+                             # conf^2/(conf^2+conf0^2) — inverse
+                             # depth-variance weighting (sigma_z ~
+                             # noise/parallax), so freshly promoted
+                             # minimal-span anchors inform the pose
+                             # without dominating it.
+    prov: jnp.ndarray        # (C,) bool — PROVISIONAL landmark: inserted
+                             # below the full parallax-maturity gate so its
+                             # depth is not yet trustworthy. Participates in
+                             # association (track identity persists across
+                             # detector misses) and in BA (which re-solves
+                             # its position), but is excluded from PnP
+                             # anchoring and from the scale-ratio estimate
+                             # until promoted (tracker step 8b) at full
+                             # parallax. Thickens the anchor supply without
+                             # the depth-bias compounding that a globally
+                             # lowered insertion gate reintroduces
+                             # (tracker step 8 measurement note).
     size: jnp.ndarray        # () i32 insert cursor
 
     @property
@@ -79,6 +111,11 @@ def empty_map(capacity: int, obs_slots: int) -> MapState:
         desc_count=jnp.zeros((capacity,), jnp.int32),
         alive=jnp.zeros((capacity,), bool),
         last_seen=jnp.zeros((capacity,), jnp.int32),
+        first_uv=jnp.zeros((capacity, 2), jnp.float32),
+        first_P=jnp.zeros((capacity, 3, 4), jnp.float32),
+        first_C=jnp.zeros((capacity, 3), jnp.float32),
+        conf=jnp.zeros((capacity,), jnp.float32),
+        prov=jnp.zeros((capacity,), bool),
         size=jnp.zeros((), jnp.int32),
     )
 

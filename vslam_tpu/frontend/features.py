@@ -223,17 +223,23 @@ def detect_with_carry(img, cfg: FrontendConfig, height: int, width: int,
     # carried corners still satisfy the detector's quality gate
     ok_t = ok_t & (sc_t > cfg.quality_level * jnp.max(resp))
     # tracked-tracked dedupe: keep the lowest-index claimant of a corner,
-    # at the SAME radius as the fresh-vs-carried dedupe below — two carried
-    # keypoints converging on one corner are exactly as ratio-test-fatal as
-    # a fresh duplicate
-    r2 = float((cfg.nms_radius + 1) ** 2)
-    d2_tt = jnp.sum((uv_t[:, None] - uv_t[None, :]) ** 2, axis=-1)
+    # with the SAME Chebyshev metric as the detector's square-window NMS
+    # (ADVICE r04: a Euclidean circle misses diagonal offsets inside the
+    # NMS square, letting the ratio-test-fatal duplicate pair survive).
+    # One-pass suppression by index priority: in a chain a~b~c (a not
+    # near c), b — itself killed by a — still kills c. Accepted as an
+    # approximation: chains need 3+ carried keypoints converging within
+    # one NMS window, which refine_tracked's shared-argmax already makes
+    # rare, and the cost is one lost carry (the corner re-enters as a
+    # fresh detection next frame), not a wrong measurement.
+    r_cheb = float(cfg.nms_radius)
+    d_tt = jnp.max(jnp.abs(uv_t[:, None] - uv_t[None, :]), axis=-1)
     i = jnp.arange(uv_t.shape[0])
-    clash = (d2_tt <= r2) & ok_t[None, :] & (i[None, :] < i[:, None])
+    clash = (d_tt <= r_cheb) & ok_t[None, :] & (i[None, :] < i[:, None])
     ok_t = ok_t & ~clash.any(axis=1)
     # fresh detections duplicating a surviving carried corner are dropped
-    d2 = jnp.sum((uv_f[:, None] - uv_t[None, :]) ** 2, axis=-1)
-    ok_f = ok_f & ~((d2 <= r2) & ok_t[None, :]).any(axis=1)
+    d_ft = jnp.max(jnp.abs(uv_f[:, None] - uv_t[None, :]), axis=-1)
+    ok_f = ok_f & ~((d_ft <= r_cheb) & ok_t[None, :]).any(axis=1)
 
     uv = jnp.concatenate([uv_t, uv_f], axis=0)
     sc = jnp.concatenate([sc_t, sc_f], axis=0)

@@ -34,7 +34,8 @@ class PnPResult(NamedTuple):
 
 
 def refine_pose(T_cw0, X_w, uv, mask, K_intr, iters: int = 8,
-                huber_delta: float = 2.0, inlier_px: float = 3.0) -> PnPResult:
+                huber_delta: float = 2.0, inlier_px: float = 3.0,
+                weights=None) -> PnPResult:
     """Gauss-Newton pose-only refinement.
 
     Args:
@@ -43,11 +44,17 @@ def refine_pose(T_cw0, X_w, uv, mask, K_intr, iters: int = 8,
       uv:    (N, 2) measured pixels.
       mask:  (N,) bool valid correspondences.
       K_intr: (3, 3) intrinsics.
+      weights: optional (N,) prior residual weights (e.g. inverse
+        landmark-depth-variance maturity weights, pipeline/tracker.py 7b)
+        multiplied into the per-iteration Huber weights; the inlier COUNT
+        and RMSE reported are unweighted (support is support).
     Updates are left-multiplicative: T_cw <- exp(xi) T_cw (same convention as
     optimizer/ba.py, whose closed-form Jacobians this reuses).
     """
     K_intr = jnp.asarray(K_intr, jnp.float32)
     eye6 = jnp.eye(6, dtype=jnp.float32)
+    prior_w = jnp.ones_like(mask, jnp.float32) if weights is None \
+        else jnp.asarray(weights, jnp.float32)
 
     def residuals(T):
         r, Xc = _project_residual(T[None], X_w, uv, K_intr)
@@ -58,7 +65,7 @@ def refine_pose(T_cw0, X_w, uv, mask, K_intr, iters: int = 8,
         r, Xc, ok = residuals(T)
         nrm = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
         w = jnp.where(nrm <= huber_delta, 1.0, huber_delta / nrm)
-        w = w * ok.astype(r.dtype)
+        w = w * prior_w * ok.astype(r.dtype)
         J, _ = _jacobians(Xc, jnp.broadcast_to(T[:3, :3], Xc.shape + (3,)),
                           K_intr)                      # (N, 2, 6)
         wJ = w[:, None, None] * J

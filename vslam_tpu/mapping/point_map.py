@@ -38,17 +38,35 @@ from ..frontend.descriptors import unpack_bits
 _NO_KEY = 1 << 30
 
 
-def insert_points(m: MapState, xyz, color, desc, valid, frame_idx=0) -> MapState:
+def insert_points(m: MapState, xyz, color, desc, valid, frame_idx=0,
+                  provisional=None, first_uv=None, first_P=None,
+                  first_C=None, conf=None) -> MapState:
     """Append masked rows at the insert cursor.
 
     Args:
       xyz: (B, 3) world points; color: (B, 3); desc: (B, 8) uint32 packed
-      descriptor of the founding observation; valid: (B,) bool.
+      descriptor of the founding observation; valid: (B,) bool;
+      provisional: optional (B,) bool — rows inserted below the full
+      parallax-maturity gate (MapState.prov semantics); None = all full;
+      first_uv/first_P/first_C: optional founding-observation record
+      ((B, 2), (B, 3, 4), (B, 3)) — the map-held track memory
+      (MapState.first_*); None = zeros.
     Rows beyond capacity are dropped (cursor saturates); the tracker counts
     them (TrackOutput.num_dropped_inserts) and the pipeline reclaims slots
     via ``evict_lru`` + ``compact`` before the cursor gets there.
     """
     C = m.capacity
+    B = valid.shape[0]
+    if provisional is None:
+        provisional = jnp.zeros_like(valid)
+    if first_uv is None:
+        first_uv = jnp.zeros((B, 2), jnp.float32)
+    if first_P is None:
+        first_P = jnp.zeros((B, 3, 4), jnp.float32)
+    if first_C is None:
+        first_C = jnp.zeros((B, 3), jnp.float32)
+    if conf is None:
+        conf = jnp.zeros((B,), jnp.float32)
     offs = jnp.cumsum(valid.astype(jnp.int32)) - 1          # (B,)
     pos = jnp.where(valid, m.size + offs, C)                # C = out-of-range -> drop
     pos = jnp.where(pos < C, pos, C)
@@ -60,6 +78,11 @@ def insert_points(m: MapState, xyz, color, desc, valid, frame_idx=0) -> MapState
         alive=m.alive.at[pos].set(True, mode="drop"),
         last_seen=m.last_seen.at[pos].set(
             jnp.asarray(frame_idx, jnp.int32), mode="drop"),
+        first_uv=m.first_uv.at[pos].set(first_uv, mode="drop"),
+        first_P=m.first_P.at[pos].set(first_P, mode="drop"),
+        first_C=m.first_C.at[pos].set(first_C, mode="drop"),
+        conf=m.conf.at[pos].set(conf, mode="drop"),
+        prov=m.prov.at[pos].set(provisional, mode="drop"),
         size=jnp.minimum(m.size + valid.sum().astype(jnp.int32), C),
     )
     return m2
@@ -154,6 +177,14 @@ def compact(m: MapState):
         alive=jnp.zeros_like(m.alive).at[dst].set(keep, mode="drop"),
         last_seen=jnp.zeros_like(m.last_seen).at[dst].set(
             m.last_seen, mode="drop"),
+        first_uv=jnp.zeros_like(m.first_uv).at[dst].set(
+            m.first_uv, mode="drop"),
+        first_P=jnp.zeros_like(m.first_P).at[dst].set(
+            m.first_P, mode="drop"),
+        first_C=jnp.zeros_like(m.first_C).at[dst].set(
+            m.first_C, mode="drop"),
+        conf=jnp.zeros_like(m.conf).at[dst].set(m.conf, mode="drop"),
+        prov=jnp.zeros_like(m.prov).at[dst].set(m.prov, mode="drop"),
         size=keep.sum().astype(jnp.int32),
     )
     return m2, remap
@@ -183,6 +214,7 @@ def associate(
     match_cfg: MatchingConfig,
     width: int,
     height: int,
+    frame_idx=None,         # () i32 current frame (enables the reacq tier)
 ) -> AssociationResult:
     """Search-by-projection over the whole map, scanned in blocks.
 
@@ -191,11 +223,29 @@ def associate(
     and inside the image, and (c) minimizes the min-over-archive Hamming
     distance, accepted if that distance < ``match_cfg.hamming_max``
     (reference gate at src/vslam.cpp:152-153, DISTANCE_THRESHOLD=64).
+
+    RE-ACQUISITION tier (``match_cfg.reacq_*``, active when ``frame_idx``
+    is given): a map point seen within the last ``reacq_max_age`` frames
+    additionally accepts the looser ``reacq_hamming_max`` descriptor gate,
+    but only within the tighter ``reacq_radius`` pixel window. This is how
+    a track broken by a detector miss re-binds to its landmark when the
+    corner re-enters as a fresh detection: its descriptor lands in the
+    64-96 band vs the archive (KERNELS_r04.md §5), which the strict gate
+    rejects. Selection stays the single lexicographic (hamming, id) min
+    over the union of both tiers' candidates, so a strict-gate candidate
+    at lower distance always outranks a reacq one.
     """
+    use_reacq = frame_idx is not None and match_cfg.reacq_max_age > 0
+    # packed-key selection (both kernels) stores the row index in the low
+    # 18 bits; a capacity past 2^18 would overflow into the distance bits
+    # and decode WRONG landmark ids with no error
+    assert m.capacity <= (1 << 18), \
+        f"map capacity {m.capacity} exceeds the 2^18 packed-key bound"
     if map_cfg.kernel == "pallas":
         from ..ops import pallas_associate
         pid, dist = pallas_associate.associate_fused(
             m, P, kp_uv, kp_desc, kp_free, map_cfg, match_cfg, width, height,
+            frame_idx=frame_idx if use_reacq else None,
             interpret=jax.default_backend() != "tpu",
         )
         return AssociationResult(point_id=pid, distance=dist)
@@ -203,14 +253,10 @@ def associate(
     C = m.capacity
     B = map_cfg.block_size
     assert C % B == 0
-    # packed-key selection (below) stores the row index in the low 18 bits;
-    # a capacity past 2^18 would overflow into the distance bits and decode
-    # WRONG landmark ids with no error
-    assert C <= (1 << 18), \
-        f"map capacity {C} exceeds the 2^18 packed-key bound"
     N = kp_uv.shape[0]
     K = m.desc.shape[1]
     r_sq = match_cfg.search_radius ** 2
+    reacq_r_sq = match_cfg.reacq_radius ** 2
 
     kp_bits = unpack_bits(kp_desc)                    # (N, 256) int8
     kp_x = kp_uv[:, 0]
@@ -242,10 +288,25 @@ def associate(
         # pixel gate: (B, N)
         du = u[:, None] - kp_x[None, :]
         dv = v[:, None] - kp_y[None, :]
-        near = vis[:, None] & ((du * du + dv * dv) <= r_sq)
+        d2 = du * du + dv * dv
+        near = vis[:, None] & (d2 <= r_sq)
+        if use_reacq:
+            # recently-seen points get the tighter window at the looser
+            # descriptor gate; the pixel subset (reacq_radius < radius)
+            # means `near` still covers every candidate pair, so the
+            # block-skip gate below needs no change. age >= 1 targets
+            # exactly BROKEN tracks: a landmark already observed this
+            # frame (via match propagation, observe runs before associate
+            # in the step) must not grab a second keypoint through the
+            # loose gate.
+            age = frame_idx - sl(m.last_seen)
+            recent = vis & (age >= 1) & (age <= match_cfg.reacq_max_age)
+            near_rq = recent[:, None] & (d2 <= reacq_r_sq)
+        else:
+            near_rq = None
 
         def _gated(args):
-            near, desc, dcount = args
+            near, near_rq, desc, dcount = args
             # Hamming: min over the K archive slots, one int8 MXU matmul per
             # occupied slot. Slot 0 always exists for live points; slots k>0
             # run only when some point in the block has a k+1'th observation
@@ -274,7 +335,10 @@ def associate(
                     ham,
                 )
 
-            ok = near & kp_free[None, :] & (ham < match_cfg.hamming_max)
+            ok = near & (ham < match_cfg.hamming_max)
+            if near_rq is not None:
+                ok = ok | (near_rq & (ham < match_cfg.reacq_hamming_max))
+            ok = ok & kp_free[None, :]
             # Pack (distance, global row) into ONE int32 key so the whole
             # epilogue is a single fused min-reduce over the block axis —
             # the separate min + argmin + improved/where passes were each
@@ -297,7 +361,7 @@ def associate(
         # so their K matmuls are skipped entirely.
         blk_key = jax.lax.cond(
             jnp.any(near) & jnp.any(kp_free), _gated, _trivial,
-            (near, desc, dcount),
+            (near, near_rq, desc, dcount),
         )
         return jnp.minimum(carry, blk_key), None
 
@@ -306,7 +370,9 @@ def associate(
     best_key, _ = jax.lax.scan(block, init, starts)
     best_d = jnp.where(best_key < _NO_KEY, best_key >> 18, 1 << 14)
     best_id = best_key & ((1 << 18) - 1)
-    found = best_d < match_cfg.hamming_max
+    # acceptance was gated per-tier inside the scan (a reacq winner may
+    # carry a distance in [hamming_max, reacq_hamming_max))
+    found = best_key < _NO_KEY
     return AssociationResult(
         point_id=jnp.where(found, best_id, -1),
         distance=best_d.astype(jnp.int32),

@@ -224,13 +224,24 @@ def _pick_bn(N):
 
 
 def associate_fused(m, P, kp_uv, kp_desc, kp_free, map_cfg, match_cfg,
-                    width: int, height: int, interpret: bool = False):
+                    width: int, height: int, frame_idx=None,
+                    interpret: bool = False):
     """Drop-in fused-kernel equivalent of point_map.associate's block scan.
 
     Returns (point_id (N,) i32, distance (N,) i32) with identical semantics
     (lexicographic (distance, id) winner, -1 / BIG when nothing passes the
     radius + hamming_max gates). Falls back to raising if the map capacity
     has no power-of-two tiling (config capacities are powers of two).
+
+    With ``frame_idx`` given, the re-acquisition tier (MatchingConfig
+    reacq_*; point_map.associate docstring) runs as a SECOND kernel pass
+    restricted to recently-seen points (visibility mask folded into mu) at
+    the tighter radius / looser hamming gate; the two per-tier lexicographic
+    winners combine by packed (distance, id) min — identical to the XLA
+    path's single-pass disjunction, because each pass already returns the
+    (min d, min id) element of its candidate subset. Stale blocks fail the
+    second pass's radius gate for every keypoint, so its matmuls are
+    predicated away and the extra pass costs O(recent blocks) only.
     """
     from ..frontend.descriptors import unpack_bits
 
@@ -281,4 +292,28 @@ def associate_fused(m, P, kp_uv, kp_desc, kp_free, map_cfg, match_cfg,
     best_d = best_d[0, :N]
     best_id = best_id[0, :N]
     found = best_d < match_cfg.hamming_max
+    if frame_idx is not None and match_cfg.reacq_max_age > 0:
+        age = frame_idx - m.last_seen
+        # age >= 1: only BROKEN tracks (see point_map.associate)
+        recent = (age >= 1) & (age <= match_cfg.reacq_max_age)
+        mu_rq = jnp.where(recent[:, None], mu, -1e9)
+        d_rq, id_rq = associate_pallas_call(
+            m.size, mu_rq, mv, dcount, mdesc,
+            kx[None, :], ky[None, :], kbits.T, kpop[None, :],
+            bm=bm, bn=bn, n_slots=K,
+            r_sq=float(match_cfg.reacq_radius) ** 2,
+            hamming_max=int(match_cfg.reacq_hamming_max),
+            interpret=interpret,
+        )
+        d_rq = d_rq[0, :N]
+        id_rq = id_rq[0, :N]
+        found_rq = d_rq < match_cfg.reacq_hamming_max
+        # packed lexicographic (distance, id) combine — ids < 2^18 per the
+        # capacity bound asserted in point_map.associate
+        k1 = jnp.where(found, best_d * (1 << 18) + best_id, 1 << 30)
+        k2 = jnp.where(found_rq, d_rq * (1 << 18) + id_rq, 1 << 30)
+        kmin = jnp.minimum(k1, k2)
+        found = kmin < (1 << 30)
+        best_d = jnp.where(found, kmin >> 18, 1 << 14)
+        best_id = kmin & ((1 << 18) - 1)
     return jnp.where(found, best_id, -1), best_d

@@ -46,6 +46,11 @@ def map_state_specs(axis_name: str) -> MapState:
         desc_count=P(axis_name),
         alive=P(axis_name),
         last_seen=P(axis_name),
+        first_uv=P(axis_name),
+        first_P=P(axis_name),
+        first_C=P(axis_name),
+        conf=P(axis_name),
+        prov=P(axis_name),
         size=P(),
     )
 
@@ -70,6 +75,7 @@ def associate_sharded(
     match_cfg: MatchingConfig,
     width: int,
     height: int,
+    frame_idx=None,          # () i32 — enables the reacq tier (point_map)
 ) -> AssociationResult:
     """Search-by-projection with the map sharded over ``axis_name``.
 
@@ -99,7 +105,7 @@ def associate_sharded(
         local = lm.replace(size=jnp.clip(lm.size - start, 0, Cs))
         res = point_map.associate(
             local, P_mat, kp_uv, kp_desc, kp_free,
-            map_cfg, match_cfg, width, height,
+            map_cfg, match_cfg, width, height, frame_idx=frame_idx,
         )
         gid = jnp.where(res.point_id >= 0, start + res.point_id, jnp.int32(C))
         gmin = jax.lax.pmin(res.distance, axis_name)           # (N,)

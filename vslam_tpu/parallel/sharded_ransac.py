@@ -19,6 +19,13 @@ from jax import shard_map
 from ..geometry import ransac as ransac_mod
 from ..geometry.ransac import RansacResult
 
+# Stage-2 leader count of ransac_pose_hypsharded. Shared with the
+# sharded-tracker fallback gate (sharded_tracker.py): selection parity
+# requires every device's per-device hypothesis count H/D >= this top-k,
+# and the gate + the trace-time assert below must agree on the value
+# (ADVICE r04 — a hardcoded literal in the gate could silently diverge).
+POSE_TOPK = 16
+
 
 def ransac_fundamental_sharded(
     mesh: Mesh,
@@ -105,7 +112,7 @@ def ransac_pose_hypsharded(
     fit_sweeps: int = 4,
     vote_stride: int = 6,
     verify_stride: int = 4,
-    topk: int = 16,
+    topk: int = POSE_TOPK,
     refine_iters: int = 10,
 ):
     """``geometry.ransac.ransac_pose`` with the hypothesis axis split over

@@ -71,9 +71,10 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
         # local cursor = how far the global cursor reaches into this shard
         return m.replace(size=jnp.clip(m.size - start, 0, Cs))
 
-    def associate(m, P2, uv, desc, free):
+    def associate(m, P2, uv, desc, free, frame):
         res = point_map.associate(local_view(m), P2, uv, desc, free,
-                                  cfg.map, cfg.matching, W, H)
+                                  cfg.map, cfg.matching, W, H,
+                                  frame_idx=frame)
         gid = jnp.where(res.point_id >= 0, start + res.point_id,
                         jnp.int32(GC))
         gmin = jax.lax.pmin(res.distance, axis)
@@ -94,7 +95,8 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
         return point_map.add_observations(
             m, jnp.where(owned, ids - start, -1), desc, valid & owned, frame)
 
-    def insert(m, xyz, color, desc, valid, frame):
+    def insert(m, xyz, color, desc, valid, frame, provisional,
+               first_uv, first_P, first_C, conf):
         # global slot layout identical to point_map.insert_points; this
         # shard applies the rows landing in its range
         offs = jnp.cumsum(valid.astype(jnp.int32)) - 1
@@ -109,14 +111,46 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
             alive=m.alive.at[dst].set(True, mode="drop"),
             last_seen=m.last_seen.at[dst].set(
                 jnp.asarray(frame, jnp.int32), mode="drop"),
+            first_uv=m.first_uv.at[dst].set(first_uv, mode="drop"),
+            first_P=m.first_P.at[dst].set(first_P, mode="drop"),
+            first_C=m.first_C.at[dst].set(first_C, mode="drop"),
+            conf=m.conf.at[dst].set(conf, mode="drop"),
+            prov=m.prov.at[dst].set(provisional, mode="drop"),
             size=jnp.minimum(m.size + valid.sum().astype(jnp.int32), GC),
         )
 
-    def update_xyz(m, ids, xyz, valid):
+    def update_xyz(m, ids, xyz, valid, promote, conf):
         # landmark refinement scatter: this shard applies only owned rows
         owned = valid & (ids >= start) & (ids < start + Cs)
         dst = jnp.where(owned, ids - start, Cs)
-        return m.replace(xyz=m.xyz.at[dst].set(xyz, mode="drop"))
+        powned = promote & (ids >= start) & (ids < start + Cs)
+        pdst = jnp.where(powned, ids - start, Cs)
+        return m.replace(xyz=m.xyz.at[dst].set(xyz, mode="drop"),
+                         conf=m.conf.at[dst].set(conf, mode="drop"),
+                         prov=m.prov.at[pdst].set(False, mode="drop"))
+
+    def gather_prov(m, ids):
+        owned = (ids >= start) & (ids < start + Cs)
+        rows = m.prov[jnp.clip(ids - start, 0, Cs - 1)]
+        contrib = jnp.where(owned & (ids >= 0), rows, False)
+        # exact: each id has a single owning shard; OR == psum over bools
+        return jax.lax.psum(contrib.astype(jnp.int32), axis) > 0
+
+    def gather_conf(m, ids):
+        owned = (ids >= start) & (ids < start + Cs)
+        rows = m.conf[jnp.clip(ids - start, 0, Cs - 1)]
+        contrib = jnp.where(owned & (ids >= 0), rows, 0.0)
+        return jax.lax.psum(contrib, axis)
+
+    def gather_first(m, ids):
+        owned = (ids >= start) & (ids < start + Cs)
+        sl = jnp.clip(ids - start, 0, Cs - 1)
+        uv = jnp.where(owned[:, None], m.first_uv[sl], 0.0)
+        Pm = jnp.where(owned[:, None, None], m.first_P[sl], 0.0)
+        Cm = jnp.where(owned[:, None], m.first_C[sl], 0.0)
+        # exact: single owning shard per id contributes nonzero rows
+        return (jax.lax.psum(uv, axis), jax.lax.psum(Pm, axis),
+                jax.lax.psum(Cm, axis))
 
     def cull(m, frame):
         out = point_map.cull_stale(local_view(m), frame)
@@ -128,8 +162,9 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
         return jax.lax.psum(local, axis)
 
     return MapOps(observe=observe, associate=associate,
-                  gather_xyz=gather_xyz, insert=insert,
-                  update_xyz=update_xyz, cull=cull,
+                  gather_xyz=gather_xyz, gather_prov=gather_prov,
+                  gather_conf=gather_conf, gather_first=gather_first,
+                  insert=insert, update_xyz=update_xyz, cull=cull,
                   alive_count=alive_count, global_capacity=GC)
 
 
@@ -154,13 +189,15 @@ def run_sharded(state, img, cfg: VSLAMConfig, mesh, map_axis: str):
     # them fully replicated — D× capacity, 0× speed; VERDICT r03 missing
     # #3). Requires the global batch to split evenly; else replicate.
     pose_fn = None
-    # Hl = H/D must stay >= the stage-2 top-k (16): the selection-parity
+    # Hl = H/D must stay >= the stage-2 top-k: the selection-parity
     # guarantee needs every device's local top-k to be able to hold the
     # global top-k (sharded_ransac.ransac_pose_hypsharded docstring).
-    # Below that, fall back to replicated RANSAC.
+    # Below that, fall back to replicated RANSAC. The bound is the shared
+    # sharded_ransac.POSE_TOPK so the gate and the trace-time assert in
+    # ransac_pose_hypsharded can never disagree (ADVICE r04).
+    from . import sharded_ransac
     if (cfg.mesh.shard_hypotheses and cfg.ransac.num_hypotheses % D == 0
-            and cfg.ransac.num_hypotheses // D >= 16):
-        from . import sharded_ransac
+            and cfg.ransac.num_hypotheses // D >= sharded_ransac.POSE_TOPK):
 
         def pose_fn(key, uv1, uv2, m_valid, K, **kw):
             return sharded_ransac.ransac_pose_hypsharded(

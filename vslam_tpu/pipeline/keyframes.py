@@ -79,6 +79,8 @@ class WindowProblem(NamedTuple):
     win_slots: jnp.ndarray   # (W,) ring slots, oldest -> newest
     win_valid: jnp.ndarray   # (W,) bool
     sel_pid: jnp.ndarray     # (P,) global map point id per local landmark (-1)
+    sel_prov: jnp.ndarray    # (P,) bool — landmark provisional at build time
+                             # (gauge-bridge accounting in pipeline/slam.py)
     # truncation accounting (VERDICT r01 weak #6: silent capping) — the
     # pipeline logs these so "BA over the window" is an auditable claim:
     n_dropped_points: jnp.ndarray  # () i32 unique landmarks beyond max_points
@@ -88,11 +90,12 @@ class WindowProblem(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "window", "max_points",
-                                    "free_tail"))
+                                    "free_tail", "prov_min_obs"))
 def build_window_problem(store: KeyframeStore, m: MapState,
                          cfg: VSLAMConfig, window: int | None = None,
                          max_points: int | None = None,
-                         free_tail: int | None = None) -> WindowProblem:
+                         free_tail: int | None = None,
+                         prov_min_obs: int = 3) -> WindowProblem:
     """Build a BA problem over the most recent `window` keyframes.
 
     window=None uses cfg.ba.window (local/sliding BA); passing the ring size
@@ -192,7 +195,19 @@ def build_window_problem(store: KeyframeStore, m: MapState,
     )
 
     points = m.xyz[jnp.clip(sel_pid, 0, m.capacity - 1)]
-    point_mask = (sel_pid >= 0) & (obs_mask.sum(axis=1) >= 2)
+    sel_prov = m.prov[jnp.clip(sel_pid, 0, m.capacity - 1)] & (sel_pid >= 0)
+    # PROVISIONAL landmarks (low-parallax inits, MapState.prov) enter a
+    # FREE-CAMERA problem only with >= prov_min_obs (default 3)
+    # observations: a 2-obs provisional point is depth-degenerate around
+    # its biased init and contributes pure noise to the free cameras'
+    # weakly observable scale direction. The STRUCTURE-ONLY path
+    # (free_tail=0, all cameras fixed) passes prov_min_obs=2 — with the
+    # cameras pinned, a 2-obs point is simply a wide-baseline two-view
+    # triangulation, exactly the estimate the provisional tier is waiting
+    # for. Full landmarks keep the 2-obs bar everywhere.
+    nobs = obs_mask.sum(axis=1)
+    point_mask = (sel_pid >= 0) & (nobs >= jnp.where(sel_prov,
+                                                     prov_min_obs, 2))
 
     problem = BAProblem(
         T_cw=T_cw,
@@ -206,11 +221,66 @@ def build_window_problem(store: KeyframeStore, m: MapState,
     )
     return WindowProblem(
         problem=problem, win_slots=win_slots, win_valid=win_valid,
-        sel_pid=sel_pid,
+        sel_pid=sel_pid, sel_prov=sel_prov,
         n_dropped_points=n_dropped_points.astype(jnp.int32),
         n_dropped_obs=n_dropped_obs.astype(jnp.int32),
         n_evicted_keyframes=jnp.maximum(store.count - R, 0),
     )
+
+
+@jax.jit
+def apply_structure_result(m: MapState, wp: WindowProblem,
+                           solved: BAProblem, min_span_rad):
+    """Write back a STRUCTURE-ONLY window solve (all cameras fixed —
+    pipeline/slam.py _refine_structure): provisional landmark positions
+    are replaced by their multi-view estimates, and those solved with
+    >= 3 surviving observations whose rays span ``min_span_rad`` are
+    promoted (prov cleared). Poses are untouched by construction.
+
+    The ray-span gate matters for forward motion: a landmark near the
+    focus of expansion collects many observations whose rays are nearly
+    parallel — its multi-view depth is still weak, and promoting it would
+    re-admit exactly the noisy-anchor class this path exists to replace.
+    """
+    cap = m.capacity
+    valid = (wp.sel_pid >= 0) & solved.point_mask & wp.sel_prov
+
+    # ray-span: max pairwise angle among the surviving observations' rays
+    W = solved.T_cw.shape[0]
+    T_wc = lie.inv_T(solved.T_cw)
+    centers = T_wc[:, :3, 3]                                  # (W, 3)
+    ccam = centers[jnp.clip(solved.obs_cam, 0, W - 1)]        # (P, K, 3)
+    rays = solved.points[:, None, :] - ccam
+    rays = rays / jnp.maximum(
+        jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
+    dots = jnp.einsum("pki,pli->pkl", rays, rays)
+    pair_ok = solved.obs_mask[:, :, None] & solved.obs_mask[:, None, :]
+    min_dot = jnp.min(jnp.where(pair_ok, dots, 1.0), axis=(1, 2))
+    span_ok = min_dot < jnp.cos(min_span_rad)
+
+    # 3+ observations promote at the base span bar; 2-obs landmarks are a
+    # single wide-baseline two-view triangulation and must clear DOUBLE
+    # the span (no redundancy to average detection noise or reject a
+    # mis-association)
+    nobs = solved.obs_mask.sum(axis=1)
+    span2_ok = min_dot < jnp.cos(2.0 * min_span_rad)
+    promote = valid & (((nobs >= 3) & span_ok) | ((nobs == 2) & span2_ok))
+    # Positions are written back ONLY for promoted landmarks: a sub-span
+    # provisional point's multi-view solve is depth-degenerate (nearly
+    # parallel rays) and LM slides it far along them — measured p90
+    # position moves of 40-290 units on the corridor — which both kills
+    # its association (projection misses) and poisons the scale-ratio
+    # median once such depths reach z_map. Un-promotable landmarks keep
+    # their sane low-parallax inits until they earn more span.
+    pdst = jnp.where(promote, wp.sel_pid, cap)
+    new_xyz = m.xyz.at[pdst].set(solved.points, mode="drop")
+    new_prov = m.prov.at[pdst].set(False, mode="drop")
+    # maturity confidence = the achieved ray span (radians) — feeds the
+    # inverse-variance PnP anchor weighting (MapState.conf)
+    span = jnp.arccos(jnp.clip(min_dot, -1.0, 1.0))
+    new_conf = m.conf.at[pdst].set(span, mode="drop")
+    return m.replace(xyz=new_xyz, prov=new_prov, conf=new_conf), \
+        promote.sum()
 
 
 @jax.jit
@@ -227,6 +297,17 @@ def apply_window_result(store: KeyframeStore, m: MapState,
     pid = jnp.where(wp.sel_pid >= 0, wp.sel_pid, m.capacity)
     pid = jnp.where(solved.point_mask, pid, m.capacity)
     new_xyz = m.xyz.at[pid].set(solved.points, mode="drop")
+    # BA-DRIVEN PROMOTION (the primary path; tracker step 8b holds the
+    # geometric fallback): a landmark this accepted event solved with at
+    # least 3 observations now carries a JOINT pose+depth estimate — no
+    # one-sided low-parallax bias to compound through PnP — so its
+    # provisional flag clears and it becomes an anchor. The caller only
+    # applies this function on ACCEPTED events (trust-region + starvation
+    # + gauge guards in pipeline/slam.py), so a wandering solve cannot
+    # mint anchors.
+    nobs = solved.obs_mask.sum(axis=1)
+    ppid = jnp.where(solved.point_mask & (nobs >= 3), pid, m.capacity)
+    new_prov = m.prov.at[ppid].set(False, mode="drop")
 
     # correction of the newest (last valid) window cam
     last = jnp.argmax(jnp.where(wp.win_valid,
@@ -234,4 +315,5 @@ def apply_window_result(store: KeyframeStore, m: MapState,
     T_old = store.poses[wp.win_slots[last]]
     T_new = T_wc_new[last]
     T_corr = T_new @ lie.inv_T(T_old)
-    return store.replace(poses=new_poses), m.replace(xyz=new_xyz), T_corr
+    return (store.replace(poses=new_poses),
+            m.replace(xyz=new_xyz, prov=new_prov), T_corr)

@@ -130,6 +130,10 @@ class SLAMSystem:
                 self.state.prev.mask,
             )
             self._kf_count += 1
+            se = self.cfg.ba.structure_every
+            if (self.enable_ba and se > 0 and self._kf_count >= 3
+                    and self._kf_count % se == 0):
+                self._refine_structure()
             if (
                 self.enable_ba
                 and self._kf_count >= 3
@@ -166,8 +170,10 @@ class SLAMSystem:
             "num_inliers": int(out.num_inliers),
             "num_associated": int(out.num_associated),
             "num_tracked_map": int(out.num_tracked_map),
+            "num_tracked_prov": int(out.num_tracked_prov),
             "num_pnp_inliers": int(out.num_pnp_inliers),
             "num_refined": int(out.num_refined),
+            "num_promoted": int(out.num_promoted),
             "num_new_points": int(out.num_new_points),
             "num_dropped_inserts": int(out.num_dropped_inserts),
             "map_size": int(out.map_size),
@@ -217,7 +223,15 @@ class SLAMSystem:
         obs_fixed = fixed[obs_cam] & obs_mask
         obs_free = (~fixed[obs_cam]) & obs_mask
         bridging = obs_fixed.any(axis=1) & obs_free.any(axis=1) & pmask
-        if int(obs_fixed[bridging].sum()) >= 30:
+        # Only NON-PROVISIONAL bridging landmarks certify the scale
+        # direction as observed: a provisional landmark's init is a
+        # low-parallax depth whose error IS in the scale direction, so
+        # bridges through it tie the free sub-window to noise, not to the
+        # gauge (measured: provisional-rich windows passed the old count,
+        # events were accepted, and the re-anchored scale ratcheted —
+        # ATE 21 at a 2-keyframe BA cadence on the 150-frame corridor).
+        solid = bridging & ~np.asarray(wp.sel_prov)
+        if int(obs_fixed[solid].sum()) >= 30:
             return solved, 1.0
         T_cw_old = np.asarray(wp.problem.T_cw)
         T_cw_new = np.asarray(solved.T_cw)
@@ -317,15 +331,81 @@ class SLAMSystem:
         return max_move <= max(0.5 * baseline, 1e-3), max_move, baseline
 
     # ------------------------------------------------------------------
+    def _refine_structure(self):
+        """Structure-only window refinement (BAConfig.structure_every).
+
+        Builds the same sliding-window problem as window BA but with EVERY
+        camera fixed (free_tail=0), so the LM solve reduces to batched
+        multi-view triangulation of the window's landmarks against the
+        tracked keyframe poses — the whole keyframe baseline, not the
+        minimal parallax of a single track segment. Poses are untouched
+        (no gauge, no T_corr, trajectory provably unaffected); only
+        PROVISIONAL landmark positions are written back, and those solved
+        with >= 3 surviving observations whose rays span the full
+        min_parallax_deg are PROMOTED to PnP anchors
+        (MapState.prov semantics)."""
+        import dataclasses
+        cfg = self.cfg
+        ba_cfg = dataclasses.replace(cfg.ba, iterations=6)
+        wp = keyframes.build_window_problem(
+            self.kf_store, self.state.map, cfg.replace(ba=ba_cfg),
+            free_tail=0, prov_min_obs=2,
+        )
+        solved, stats = ba.solve_robust(
+            wp.problem, self._K, ba_cfg, reject_px=3.0, rounds=2)
+        new_map, n_promoted = keyframes.apply_structure_result(
+            self.state.map, wp, solved,
+            jnp.deg2rad(cfg.triangulation.min_parallax_deg))
+        if self.mesh is not None:
+            new_map = self._shard_map(new_map)
+        self.state = self.state.replace(map=new_map)
+        self.metrics.log(kind="structure_refine", frame=self.frame_idx,
+                         initial_cost=float(stats.initial_cost),
+                         final_cost=float(stats.final_cost),
+                         promoted=int(n_promoted))
+
+    # ------------------------------------------------------------------
     def _run_window_ba(self):
+        # prov_min_obs=99: provisional landmarks are EXCLUDED from the
+        # pose-moving window solve. Their biased low-parallax inits pull
+        # the free cameras' weakly observable scale direction (measured:
+        # with them included, every accepted event re-gauged scale 0.89-
+        # 0.97 and the corridor ATE tripled vs structure-refine alone);
+        # estimating them is _refine_structure's job, and they enter this
+        # problem only after promotion.
         wp = keyframes.build_window_problem(
             self.kf_store, self.state.map, self.cfg,
-            free_tail=self.cfg.ba.free_cams,
+            free_tail=self.cfg.ba.free_cams, prov_min_obs=99,
         )
         starved, n_obs, n_free = self._window_starved(wp)
         if starved:
             self.metrics.log(kind="ba", frame=self.frame_idx,
                              skipped="starved", n_obs=n_obs, n_free=n_free,
+                             ba_result_accepted=False)
+            return
+        # EXPLORATION GATE (the round-5 scale-aware acceptance): a
+        # pose-moving solve is only worth running when the window carries
+        # DEEP revisit evidence — solid (non-provisional) landmarks
+        # observed by >= 2 anchored AND >= 1 free camera. Those
+        # observations are what tie the free cameras' scale to the past
+        # gauge; without them the solve can only redistribute the young
+        # observations' noise, and accepted exploration events were
+        # measured to COMPOUND it (600-frame corridor: ATE 0.47 -> 18.6
+        # with 22 accepted events; per-event kfATE deltas individually
+        # small). Measured separation on the two regimes: corridor
+        # deep_obs 4-99 per window vs dense-revisit 195-523 — the 120 bar
+        # sits between with clear margin on both sides.
+        fixed = np.asarray(wp.problem.cam_fixed)
+        oc = np.asarray(wp.problem.obs_cam)
+        om = np.asarray(wp.problem.obs_mask)
+        pmask = np.asarray(wp.problem.point_mask)
+        nfix = (fixed[oc] & om).sum(axis=1)
+        nfree_o = ((~fixed[oc]) & om).sum(axis=1)
+        deep = pmask & (nfix >= 2) & (nfree_o >= 1)
+        deep_obs = int(om[deep].sum())
+        if deep_obs < 120:
+            self.metrics.log(kind="ba", frame=self.frame_idx,
+                             skipped="shallow", deep_obs=deep_obs,
                              ba_result_accepted=False)
             return
         solved, stats = ba.solve_robust(
@@ -345,15 +425,61 @@ class SLAMSystem:
         # measured factor is ~1 and this is a no-op.
         solved, gauge_s = self._pin_window_gauge(wp, solved)
         ba_accepted, max_move, baseline = self._ba_event_accepted(wp, solved)
+        s_corr = 1.0
         if ba_accepted:
             self.kf_store, new_map, T_corr = keyframes.apply_window_result(
                 self.kf_store, self.state.map, wp, solved
             )
             if self.mesh is not None:
                 new_map = self._shard_map(new_map)
-            # re-anchor the live pose onto the optimized newest keyframe
+            # RE-GAUGE THE MOTION MODEL: the scale factor BA applied to the
+            # newest keyframe gap is an absolute measurement of the
+            # tracker's current scale error, tied through the window's
+            # anchored cameras to the past gauge. Propagating it into
+            # state.vel / state.scale is the restoring force that arrests
+            # the slow multiplicative contraction of map-anchored
+            # tracking: without it, BA corrected keyframe POSES while the
+            # velocity state kept its drifted scale, the drift resumed
+            # immediately, and the loop collapsed anyway (measured on the
+            # 150-frame corridor at a 2-keyframe BA cadence: committed
+            # step scale 1.63 -> 0.18, ATE 21, with every pre-collapse
+            # event individually net-positive).
+            T_old = np.asarray(wp.problem.T_cw)
+            T_new = np.asarray(solved.T_cw)
+            C_old = -np.einsum("wji,wj->wi", T_old[:, :3, :3],
+                               T_old[:, :3, 3])
+            C_new = -np.einsum("wji,wj->wi", T_new[:, :3, :3],
+                               T_new[:, :3, 3])
+            # Only a window whose scale direction is genuinely observed —
+            # >= 30 anchored-camera observations of NON-provisional
+            # bridging landmarks (same bar as the gauge-pin test) — may
+            # re-gauge the tracker's scale. Exploration windows, whose
+            # solve can only ratify the young observations' drift
+            # (measured: s_corr 0.89-0.97 every event during a scale
+            # collapse), leave the motion model alone.
+            fixed_ = np.asarray(wp.problem.cam_fixed)
+            om = np.asarray(wp.problem.obs_mask)
+            ofix = fixed_[np.asarray(wp.problem.obs_cam)] & om
+            ofree = (~fixed_[np.asarray(wp.problem.obs_cam)]) & om
+            bridge = (ofix.any(axis=1) & ofree.any(axis=1)
+                      & np.asarray(wp.problem.point_mask)
+                      & ~np.asarray(wp.sel_prov))
+            solid_obs = int(ofix[bridge].sum())
+            idx = np.where(np.asarray(wp.win_valid))[0]
+            if (self.cfg.ba.rescale_motion_model and solid_obs >= 30
+                    and len(idx) >= 2):
+                a, b = idx[-2], idx[-1]
+                g_old = float(np.linalg.norm(C_old[b] - C_old[a]))
+                g_new = float(np.linalg.norm(C_new[b] - C_new[a]))
+                if g_old > 1e-6 and g_new > 1e-6:
+                    s_corr = float(np.clip(g_new / g_old, 0.5, 2.0))
+            vel = np.asarray(self.state.vel).copy()
+            vel[:3, 3] *= s_corr
             self.state = self.state.replace(
-                map=new_map, pose=T_corr @ self.state.pose
+                map=new_map, pose=T_corr @ self.state.pose,
+                vel=jnp.asarray(vel),
+                scale=jnp.asarray(float(self.state.scale) * s_corr,
+                                  jnp.float32),
             )
         self.last_ba_stats = stats
         self.metrics.log(
@@ -366,6 +492,7 @@ class SLAMSystem:
             max_cam_move=max_move,
             median_baseline=baseline,
             gauge_s=gauge_s,
+            scale_corr=s_corr,
             dropped_points=int(wp.n_dropped_points),
             dropped_obs=int(wp.n_dropped_obs),
             evicted_keyframes=int(wp.n_evicted_keyframes),

@@ -81,14 +81,20 @@ class TrackOutput(NamedTuple):
     num_inliers: jnp.ndarray
     num_cheirality: jnp.ndarray
     num_associated: jnp.ndarray
-    num_tracked_map: jnp.ndarray  # keypoints carrying a map id into PnP (7b)
+    num_tracked_map: jnp.ndarray  # keypoints carrying a FULL map id into PnP
+    num_tracked_prov: jnp.ndarray  # keypoints bound to provisional landmarks
+                                   # (association-only anchors, not in PnP)
     num_pnp_inliers: jnp.ndarray  # PnP inliers of the committed refine
     num_refined: jnp.ndarray      # landmarks re-triangulated this frame (8b)
+    num_promoted: jnp.ndarray     # provisional landmarks promoted to full
     num_new_points: jnp.ndarray
     num_dropped_inserts: jnp.ndarray  # inserts lost to a full map this frame
     map_size: jnp.ndarray
     map_alive: jnp.ndarray     # alive landmarks within the cursor
     scale: jnp.ndarray
+    scale_med: jnp.ndarray     # () f32 absolute map-ratio scale measurement
+                               # (median z_map/z_rel over mature anchors)
+    n_scale_support: jnp.ndarray  # () i32 supports behind scale_med
     success: jnp.ndarray
     # per-match data for frame annotation (reference draws keypoints, match
     # lines and reprojected circles on the live window, src/vslam.cpp:90-230)
@@ -195,25 +201,47 @@ class MapOps(NamedTuple):
     same replicated program per device).
     """
     observe: object          # (m, ids, desc, valid, frame) -> m
-    associate: object        # (m, P2, uv, desc, free) -> AssociationResult
+    associate: object        # (m, P2, uv, desc, free, frame) -> AssociationResult
     gather_xyz: object       # (m, ids) -> (N, 3) rows (0 where id invalid)
-    insert: object           # (m, xyz, color, desc, valid, frame) -> m
-    update_xyz: object       # (m, ids, xyz, valid) -> m (landmark refine)
+    gather_prov: object      # (m, ids) -> (N,) bool (False where id invalid)
+    gather_conf: object      # (m, ids) -> (N,) f32 (0 where id invalid)
+    gather_first: object     # (m, ids) -> (uv (N,2), P (N,3,4), C (N,3))
+                             # founding-observation records (0 where invalid)
+    insert: object           # (m, xyz, color, desc, valid, frame, prov,
+                             #  first_uv, first_P, first_C, conf) -> m
+    update_xyz: object       # (m, ids, xyz, valid, promote, conf) -> m
+                             # (landmark refine; promote rows clear prov;
+                             #  valid rows record the new conf)
     cull: object             # (m, frame) -> m
     alive_count: object      # (m) -> () i32
     global_capacity: int     # total map capacity across all shards
 
 
 def default_map_ops(cfg: VSLAMConfig, W: int, H: int) -> MapOps:
+    def update_xyz(m, ids, xyz, valid, promote, conf):
+        dst = jnp.where(valid, ids, m.capacity)
+        pdst = jnp.where(promote, ids, m.capacity)
+        return m.replace(
+            xyz=m.xyz.at[dst].set(xyz, mode="drop"),
+            conf=m.conf.at[dst].set(conf, mode="drop"),
+            prov=m.prov.at[pdst].set(False, mode="drop"))
+
     return MapOps(
         observe=point_map.add_observations,
-        associate=lambda m, P2, uv, desc, free: point_map.associate(
-            m, P2, uv, desc, free, cfg.map, cfg.matching, W, H),
+        associate=lambda m, P2, uv, desc, free, frame: point_map.associate(
+            m, P2, uv, desc, free, cfg.map, cfg.matching, W, H,
+            frame_idx=frame),
         gather_xyz=lambda m, ids: m.xyz[jnp.clip(ids, 0, m.capacity - 1)],
+        gather_prov=lambda m, ids: (
+            m.prov[jnp.clip(ids, 0, m.capacity - 1)] & (ids >= 0)),
+        gather_conf=lambda m, ids: jnp.where(
+            ids >= 0, m.conf[jnp.clip(ids, 0, m.capacity - 1)], 0.0),
+        gather_first=lambda m, ids: (
+            m.first_uv[jnp.clip(ids, 0, m.capacity - 1)],
+            m.first_P[jnp.clip(ids, 0, m.capacity - 1)],
+            m.first_C[jnp.clip(ids, 0, m.capacity - 1)]),
         insert=point_map.insert_points,
-        update_xyz=lambda m, ids, xyz, valid: m.replace(
-            xyz=m.xyz.at[jnp.where(valid, ids, m.capacity)].set(
-                xyz, mode="drop")),
+        update_xyz=update_xyz,
         cull=point_map.cull_stale,
         alive_count=lambda m: (
             m.alive & (jnp.arange(m.capacity) < m.size)).sum(),
@@ -328,8 +356,11 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     X_rel, w_rel = triangulation.triangulate_dlt(P1_rel, P2_rel, uv1, uv2)
     z_rel = X_rel[:, 2]
     # map-predicted depth of prev-frame keypoints that carry a map id
+    # (provisional landmarks excluded: their depth is not yet trustworthy
+    # and the scale median must not conform to it — MapState.prov)
     pid_prev = state.prev_map_id
-    has_map = (pid_prev >= 0) & rres.inliers
+    has_map = ((pid_prev >= 0) & rres.inliers
+               & ~ops.gather_prov(state.map, pid_prev))
     Xm = ops.gather_xyz(state.map, pid_prev)
     T_cw_prev = lie.inv_T(state.pose)
     Xm_c = jnp.einsum("ij,nj->ni", T_cw_prev[:3, :3], Xm) + T_cw_prev[:3, 3]
@@ -417,7 +448,8 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     # projection window; the committed pose comes from the map (7b).
     P2 = cam.projection_matrix(K, new_pose)
     kp_free = feats.mask & (map_id2 < 0)
-    assoc = ops.associate(new_map, P2, feats.uv, feats.desc, kp_free)
+    assoc = ops.associate(new_map, P2, feats.uv, feats.desc, kp_free,
+                          state.frame_idx)
     assoc_found = assoc.point_id >= 0
 
     # 7b. PnP map tracking — the PRIMARY pose path (geometry/pnp.py).
@@ -433,16 +465,67 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     # extrapolated candidate re-acquires the surviving map); the reference
     # has no recovery path at all (SURVEY.md §5, src/Frame.cpp:56).
     pnp_ids = jnp.where(assoc_found, assoc.point_id, map_id2)
-    pnp_mask = (pnp_ids >= 0) & feats.mask
+    pnp_prov = ops.gather_prov(new_map, pnp_ids)
+    # provisional landmarks inform association (identity) but must not
+    # anchor the pose: their low-parallax depths are exactly the biased
+    # measurements PnP would conform to (MapState.prov). EXCEPT during
+    # relocalization (pose_ok False): a young map may hold ONLY
+    # provisional landmarks, and a biased re-anchor beats extrapolating
+    # blind — the convergence gate (pnp_commit_ok rmse < 1.5) still
+    # rejects a bad fit.
+    pnp_mask = (pnp_ids >= 0) & feats.mask & (~pnp_prov | ~pose_ok)
     X_pnp = ops.gather_xyz(new_map, pnp_ids)
+    # MATURITY-WEIGHTED anchoring: each anchor's residual is weighted by
+    # conf^2/(conf^2 + conf0^2) — inverse depth-variance (sigma_z ~
+    # pixel-noise/parallax), so a freshly promoted minimal-span anchor
+    # informs the pose at ~1/5 the weight of a wide-baseline one instead
+    # of dominating it (VERDICT r04 next #1(a): "marginal anchors inform
+    # but don't dominate").
+    conf0 = jnp.deg2rad(6.0)
+    pnp_conf = ops.gather_conf(new_map, pnp_ids)
+    pnp_w = pnp_conf ** 2 / (pnp_conf ** 2 + conf0 ** 2)
+    # Relocalization (pose_ok False — e.g. first real frame after a
+    # blackout): anchors run at FULL authority. The maturity weighting
+    # exists to keep young anchors from dominating a healthy chain; after
+    # a tracking loss there is no chain to protect, the surviving map IS
+    # the signal, and the strict convergence gate (rmse < 1.5,
+    # pnp_commit_ok) already rejects a bad re-anchor.
+    pnp_w = jnp.where(pose_ok, pnp_w, jnp.ones_like(pnp_w))
     pr = pnp.refine_pose(
         lie.inv_T(new_pose), X_pnp, feats.uv, pnp_mask, K, iters=8,
-        inlier_px=cfg.triangulation.reproj_threshold_sq ** 0.5 * 1.5)
+        inlier_px=cfg.triangulation.reproj_threshold_sq ** 0.5 * 1.5,
+        weights=pnp_w)
     T_pnp = lie.inv_T(pr.T_cw)
+    # SCALE FACTORIZATION of the committed pose: PnP governs rotation,
+    # direction, and lateral/vertical anchoring to the map (the drift
+    # modes landmarks actually pin down), but its step MAGNITUDE is
+    # re-gauged to the scale estimate (step 4: motion model clamped by
+    # the absolute map-ratio band). Monocular forward step scale is the
+    # one direction PnP anchors CANNOT be trusted on in exploration:
+    # every anchor is triangulated from the recent pose chain, so anchor
+    # depth errors correlate with the chain's own scale, and committing
+    # |t_pnp| closes a positive feedback loop — measured on the 150-frame
+    # corridor: committed step scale 1.63 -> 0.18 (-1.5%/frame), ATE
+    # 0.10 -> 9.0, reproducible across promotion policies (one-shot
+    # geometric, multi-view structure refine) and PnP itself measured
+    # UNBIASED on ground-truth anchors (0.9992 +- 0.005) — the loop, not
+    # the solver, is the disease. Scale corrections instead come from
+    # the absolute map-ratio clamp and from accepted window-BA events
+    # with a solid old-landmark bridge (pipeline/slam.py re-gauge).
+    # Relocalization (pose_ok False) commits the RAW PnP pose: there the
+    # absolute position vs surviving old landmarks IS the signal.
+    dT = lie.inv_T(state.pose) @ T_pnp
+    t_mag = jnp.linalg.norm(dT[:3, 3])
+    dT_scaled = dT.at[:3, 3].set(
+        dT[:3, 3] * jnp.where(t_mag > 1e-6, scale / jnp.maximum(t_mag, 1e-6),
+                              1.0))
+    T_commit = jnp.where(pose_ok, state.pose @ dT_scaled, T_pnp)
+    # the trust region gates the RAW solve (a diverged GN must not slip
+    # through just because its magnitude gets sanitized by the re-gauge)
     pnp_ok = pnp_commit_ok(state.pose, T_pnp, scale, pose_ok,
                            pr.num_inliers, pr.rmse,
                            cfg.ransac.min_inliers)
-    new_pose = jnp.where(pnp_ok, T_pnp, new_pose)
+    new_pose = jnp.where(pnp_ok, T_commit, new_pose)
     track_ok = pose_ok | pnp_ok
 
     assoc_ok = assoc_found & track_ok
@@ -472,6 +555,14 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
         jnp.linalg.norm(ray1, axis=1) * jnp.linalg.norm(ray2, axis=1), 1e-9)
     par_ok = cos_par < jnp.cos(
         jnp.deg2rad(cfg.triangulation.min_parallax_deg))
+    # provisional tier: a much lower parallax bar admits young tracks into
+    # the map EARLY (flagged MapState.prov — association-only until
+    # promoted at the full bar in 8b); see TriangulationConfig
+    if cfg.triangulation.prov_parallax_deg > 0:
+        par_ok_ins = cos_par < jnp.cos(
+            jnp.deg2rad(cfg.triangulation.prov_parallax_deg))
+    else:
+        par_ok_ins = par_ok
     # epipolar consistency this frame, scattered per current keypoint
     inl_kp = jnp.zeros((N,), bool).at[
         jnp.where(m_valid & rres.inliers, mres.idx2, N)].set(
@@ -496,17 +587,20 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
         max_depth=cfg.triangulation.max_depth,
         min_parallax_cos=2.0,   # parallax handled by par_ok above
     )
-    insert = cand & par_ok & quality
+    insert = cand & par_ok_ins & quality
+    ins_prov = insert & ~par_ok     # below full maturity -> provisional
     # enough baseline but geometrically inconsistent: dead track, re-anchor
-    restart = cand & par_ok & ~quality
+    restart = cand & par_ok_ins & ~quality
     # color: sample the image at the keypoint (grayscale -> replicated RGB;
     # the reference samples BGR with a row/col swap bug, src/vslam.cpp:248)
     xi = jnp.clip(feats.uv[:, 0].astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(feats.uv[:, 1].astype(jnp.int32), 0, H - 1)
     gray = img[yi, xi]
     color = jnp.stack([gray, gray, gray], axis=1)
+    parallax_ins = jnp.arccos(jnp.clip(cos_par, -1.0, 1.0))
     new_map = ops.insert(new_map, X_w, color, feats.desc, insert,
-                         state.frame_idx)
+                         state.frame_idx, ins_prov,
+                         pend_uv, pend_P, pend_C, parallax_ins)
 
     # 8b. ONE-SHOT widest-baseline landmark refinement: a MAPPED keypoint
     # whose live track has reached DOUBLE its insertion parallax
@@ -522,14 +616,30 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     # views) also rejects refinements whose stored first-obs camera has
     # been invalidated by BA window corrections.
     FROZEN = 1e3   # pend_par sentinel: landmark already refined
-    parallax = jnp.arccos(jnp.clip(cos_par, -1.0, 1.0))
-    refine = (pend_valid & feats.mask & (map_id2 >= 0) & track_ok & quality
-              & id_ok
+    parallax = parallax_ins
+    mapped_ok = (pend_valid & feats.mask & (map_id2 >= 0) & track_ok
+                 & quality & id_ok)
+    prov_id = ops.gather_prov(new_map, map_id2)
+    # GEOMETRIC PROMOTION (fallback path): a provisional landmark whose
+    # track has accumulated promote_parallax_deg (across breaks — the
+    # re-bind restore below keeps the founding record) re-triangulates at
+    # that wide baseline and clears its prov flag. The bar is deliberately
+    # high (8 deg vs the 2 deg insert bar): promotion feeds PnP anchors,
+    # and anchors promoted at minimal parallax carry a ~1% low depth bias
+    # that compounds through the anchor->pose->insert loop (measured:
+    # committed step scale 1.64 -> 0.15 over 150 corridor frames). The
+    # PRIMARY promotion path is an accepted window-BA event
+    # (keyframes.apply_window_result), whose joint estimate is bias-free.
+    promote = (mapped_ok & prov_id
+               & (parallax >
+                  jnp.deg2rad(cfg.triangulation.promote_parallax_deg)))
+    refine = (mapped_ok & ~prov_id
               & (pend_par < FROZEN)
               & (parallax > 2.0 * pend_par)
               & (parallax >
                  2.0 * jnp.deg2rad(cfg.triangulation.min_parallax_deg)))
-    new_map = ops.update_xyz(new_map, map_id2, X_w, refine)
+    new_map = ops.update_xyz(new_map, map_id2, X_w, refine | promote,
+                             promote, parallax)
 
     # retire uncorroborated stale landmarks (map hygiene; the reference's
     # map only ever grows)
@@ -552,16 +662,45 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     restart = restart | (pend_valid & feats.mask & ~id_ok)
     keep = pend_valid & ~restart
     start_new = feats.mask & ~keep & track_ok
-    pend_uv = jnp.where(keep[:, None], pend_uv, feats.uv)
+    # RE-BIND RESTORE: a keypoint whose fresh segment starts already bound
+    # to a PROVISIONAL landmark (re-acquired via association after a break)
+    # restores the landmark's map-held founding record (MapState.first_*)
+    # instead of re-anchoring at this frame — so parallax maturity (and
+    # with it promotion to a PnP anchor) accumulates across detector
+    # misses. Identity across the break was vouched by the association
+    # gates (radius + recency + Hamming); the segment identity card
+    # (pend_desc) is the CURRENT descriptor, so the per-segment drift gate
+    # (id_ok, step 8) keeps operating on the new segment. Full landmarks
+    # re-bound after a break deliberately re-anchor at this frame: their
+    # one-shot widest-baseline refine is keyed on pend_par, and restoring
+    # would re-trigger it against the drifting live pose chain (the
+    # continuous-refinement pathology, step 8b note).
+    prov_now = ops.gather_prov(new_map, map_id2)
+    f_uv, f_P, f_C = ops.gather_first(new_map, map_id2)
+    restore = start_new & (map_id2 >= 0) & prov_now
+    pend_uv = jnp.where(keep[:, None], pend_uv,
+                        jnp.where(restore[:, None], f_uv, feats.uv))
     pend_P = jnp.where(keep[:, None, None], pend_P,
-                       jnp.broadcast_to(P2[None], (N, 3, 4)))
+                       jnp.where(restore[:, None, None], f_P,
+                                 jnp.broadcast_to(P2[None], (N, 3, 4))))
     pend_C = jnp.where(keep[:, None], pend_C,
-                       jnp.broadcast_to(C2[None], (N, 3)))
+                       jnp.where(restore[:, None], f_C,
+                                 jnp.broadcast_to(C2[None], (N, 3))))
     pend_desc = jnp.where(keep[:, None], pend_desc, feats.desc)
     pend_par = jnp.where(keep, pend_par, 0.0)
     pend_par = jnp.where(insert, parallax, pend_par)
+    pend_par = jnp.where(promote, parallax, pend_par)  # future 8b at 2x this
     pend_par = jnp.where(refine, FROZEN, pend_par)   # one shot only
     pend_valid = keep | start_new
+
+    # SO(3) re-projection of the committed pose: the pose is a product
+    # chain (~a dozen float32 4x4 products per frame through the PnP
+    # path), and rotation non-orthogonality compounds MULTIPLICATIVELY —
+    # measured singular-value inflation 1.0 -> 1.07 in 30 frames once PnP
+    # commits densely, scaling every chained step (committed scale ran to
+    # 24x). One Newton sweep per frame pins it at machine precision
+    # (lie.orthonormalize_T).
+    new_pose = lie.orthonormalize_T(new_pose)
 
     # non-finite backstop: whatever path produced the committed pose, a
     # NaN/inf must never enter the chain (it would poison every downstream
@@ -586,13 +725,17 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
         num_cheirality=jnp.max(votes),
         num_associated=assoc_ok.sum(),
         num_tracked_map=pnp_mask.sum(),
+        num_tracked_prov=((pnp_ids >= 0) & feats.mask & pnp_prov).sum(),
         num_pnp_inliers=pr.num_inliers,
         num_refined=refine.sum(),
+        num_promoted=promote.sum(),
         num_new_points=insert.sum() - n_dropped,
         num_dropped_inserts=n_dropped,
         map_size=new_map.size,
         map_alive=n_alive,
         scale=scale,
+        scale_med=med,
+        n_scale_support=n_ratio.astype(jnp.int32),
         success=track_ok,
         uv1=uv1,
         uv2=uv2,
