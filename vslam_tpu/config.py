@@ -113,9 +113,13 @@ class MatchingConfig:
     # frame, so a true re-observation projects within a few px; a false
     # candidate must land in a far smaller disc AND be recent).
     # reacq_max_age=0 disables the tier.
-    reacq_radius: float = 6.0
+    reacq_radius: float = 6.0    # widening to 8 px raised anchor density
+                                 # ~15% but worsened 600-frame corridor
+                                 # ATE 0.46 -> 0.79 (false re-binds)
     reacq_hamming_max: int = 96
-    reacq_max_age: int = 4
+    reacq_max_age: int = 8       # 4 -> 8 measured ATE-neutral with
+                                 # slightly longer track persistence
+                                 # (600f corridor 0.465 vs 0.472)
     # Which Hamming-distance kernel computes the (N1, N2) matrix:
     #   "matmul"   — int8 bit-plane matmul on the MXU (matching/hamming.py)
     #   "pallas"   — fused XOR+popcount VPU kernel (ops/pallas_hamming.py);
@@ -185,7 +189,27 @@ class TriangulationConfig:
     # observations — a joint pose+depth estimate has no one-sided bias to
     # compound. This geometric bar is the fallback for BA-off runs and
     # for landmarks BA never covers.
+    # SUPPLY-ADAPTIVE promotion (tracker 8b): a provisional landmark
+    # promotes at promote_parallax_deg; while the frame's live FULL-anchor
+    # count sits below anchor_target, the bar relaxes to
+    # promote_parallax_lo_deg. The two regimes genuinely want opposite
+    # bars (measured, no-BA): the exploration corridor (landmarks stream
+    # past, anchors scarce) wants ~5 deg — 12 anchors @ ATE 0.46 vs
+    # 8 @ 0.53 at 6 deg and ~5 @ 0.6 map-free; the dense revisit box
+    # (landmarks abundant and far) wants 8 deg — 16 anchors @ 0.151 vs
+    # 43 @ 0.71 when the 5-deg bar floods it with weak anchors. Keying
+    # the bar to the supply gives each regime its own operating point
+    # with one config.
+    # Measured on the flagship 600-frame corridor draw (the CLI scene,
+    # endurance artifact): target 12 / lo 5 deg -> ATE 0.34 at 10
+    # anchors/32 associations per frame median — r04-parity ATE (0.35)
+    # at 3x its anchor density and 32x its association rate; target 20
+    # (always-low-bar on this regime) -> 1.4. On the dense revisit box
+    # the target is reached instantly, the high bar governs, and window
+    # BA stays strictly net-positive (0.146 vs 0.223 no-BA, 6 events).
     promote_parallax_deg: float = 8.0
+    promote_parallax_lo_deg: float = 5.0
+    anchor_target: int = 12
     min_depth: float = 0.1
     max_depth: float = 500.0
     # Track-identity gate (tracker step 8): max Hamming distance between a
@@ -252,16 +276,19 @@ class BAConfig:
     # _refine_structure), in keyframes; 0 disables. Window BA with every
     # camera fixed = batched multi-view triangulation of the window's
     # landmarks over the keyframe baseline: no gauge freedom, no pose
-    # write-back, cannot move the trajectory — but it replaces each
-    # provisional landmark's biased low-parallax init with a multi-view
-    # estimate and PROMOTES it (>= 3 surviving observations spanning
-    # min_parallax_deg of ray spread) into a PnP anchor. This is the
-    # anchor-minting path that breaks the anchor->pose->insert bias loop:
-    # geometric one-shot promotion at low bars was measured to decay the
-    # committed step scale 1.64 -> 0.15 over 150 corridor frames
-    # (tracker step 8b note), while anchors minted here carry the full
-    # window baseline.
-    structure_every: int = 1
+    # write-back, cannot move the trajectory. It replaces provisional
+    # landmarks' biased low-parallax inits with multi-view estimates and
+    # PROMOTES the well-spanned ones into PnP anchors. Default OFF: the
+    # geometric promotion path (tracker 8b, with the cross-break
+    # founding-record restore) reaches the same anchor density from
+    # two-view wide-baseline triangulations, and on observation-dense
+    # scenes the structure pass floods PnP with many small-span anchors
+    # whose aggregate weight outvotes the strong ones (measured dense-box
+    # revisit: ATE 0.17 -> 0.42 from this pass alone even at the raised
+    # span bars; corridor: no benefit over geometric at equal promote
+    # bars). Kept as a capability for detector-starved regimes where
+    # keyframe observations are the only usable baseline.
+    structure_every: int = 0
     # Propagate an accepted window-BA event's scale correction of the
     # newest keyframe gap into the tracker's motion model (state.vel /
     # state.scale). Requires a solid (non-provisional) gauge bridge; see
@@ -298,6 +325,26 @@ class PipelineConfig:
     max_keyframes: int = 512
     local_ba_every: int = 5          # run window BA every N keyframes
     image_dtype: str = "float32"
+    # Rotation low-pass (tracker, end of step): blend the committed
+    # rotation this fraction toward the constant-velocity prediction.
+    # Motivation: per-frame rotation noise random-walks to +-3 deg of yaw
+    # over 600 corridor frames and dominates long-run ATE (scale stays
+    # flat to 0.1%). Default OFF (0): measured on that exact scenario the
+    # blend WORSENS ATE (1.0 -> 2.2 at 0.3, 1.1 at 0.5) — the scenario's
+    # turn rate itself wanders per frame, so the prediction lags reality
+    # and the lag error is persistent (the map bakes it in) while the
+    # noise it removes was zero-mean. Only worth enabling on platforms
+    # with genuinely smooth rotation dynamics.
+    rot_smooth: float = 0.0
+    # PnP-correction low-pass: commit only this fraction of the (already
+    # magnitude-re-gauged) PnP correction relative to the essential-chain
+    # candidate each frame. Default 1.0 (full correction): measured at
+    # 0.4 on the 600-frame corridor the partial correction DIVERGES (ATE
+    # 11-14) — the un-applied remainder of each correction re-appears
+    # grown the next frame (the candidate chain drifts away from the map
+    # faster than the integrator closes), so the blend must stay 1.0
+    # unless the candidate chain itself is near-unbiased.
+    pnp_blend: float = 1.0
 
 
 @dataclass(frozen=True)

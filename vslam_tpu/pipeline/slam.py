@@ -24,6 +24,32 @@ from . import keyframes, tracker
 
 
 @jax.jit
+def _window_gate_stats(problem, sel_prov):
+    """All pre-solve window gate quantities as four scalars, so the host
+    pays ONE device fetch per BA attempt instead of pulling the problem's
+    observation arrays across the transport (measured on the dev tunnel:
+    the numpy-side guards cost ~2.5 s/event in round trips — more than
+    the solve itself — and the chunked driver attempts one event per
+    chunk)."""
+    fixed = problem.cam_fixed
+    ofree_cam = ~fixed[problem.obs_cam]
+    pm = problem.point_mask[:, None]
+    n_obs_free = (problem.obs_mask & ofree_cam & pm).sum()
+    n_free = (problem.cam_mask & ~problem.cam_fixed).sum()
+    nfix = (fixed[problem.obs_cam] & problem.obs_mask).sum(axis=1)
+    nfree_o = (ofree_cam & problem.obs_mask).sum(axis=1)
+    deep = problem.point_mask & (nfix >= 2) & (nfree_o >= 1)
+    deep_obs = (problem.obs_mask & deep[:, None]).sum()
+    bridge = ((fixed[problem.obs_cam] & problem.obs_mask).any(axis=1)
+              & (ofree_cam & problem.obs_mask).any(axis=1)
+              & problem.point_mask & ~sel_prov)
+    solid_obs = (fixed[problem.obs_cam] & problem.obs_mask
+                 & bridge[:, None]).sum()
+    return (n_obs_free.astype(jnp.int32), n_free.astype(jnp.int32),
+            deep_obs.astype(jnp.int32), solid_obs.astype(jnp.int32))
+
+
+@jax.jit
 def _map_maintenance(m, prev_map_id, obs_pid, min_free):
     """Evict LRU landmarks until >= min_free slots are reclaimable, compact
     the map, and remap every id holder (tracker + keyframe observations)."""
@@ -190,6 +216,85 @@ class SLAMSystem:
         return info
 
     # ------------------------------------------------------------------
+    def process_chunk(self, inputs, render_fn=None) -> Dict:
+        """Feed T frames as ONE device-resident program (pipeline/
+        scan_driver.py): tracking, keyframe decisions + ring insertion,
+        and map maintenance all run inside a single ``lax.scan``; only
+        per-frame scalars come back to the host (one transfer per chunk).
+
+        ``inputs``: (T, H, W) stacked frames, or with ``render_fn`` a
+        (T,)-leading pytree of renderer inputs (e.g. ground-truth poses
+        for the on-device synthetic renderer — zero per-frame transfer).
+
+        Window BA fires at chunk boundaries; with the chunk length
+        aligned to keyframe_every * local_ba_every the events land on
+        exactly the frames the per-frame driver would pick, and the two
+        drivers' trajectories agree (tests/test_scan_driver.py).
+        Unsupported with a sharded-map mesh (the per-frame path covers
+        that mode).
+        """
+        from . import scan_driver
+        assert self.mesh is None, "chunked driver: single-device map only"
+        t0 = time.perf_counter()
+        if self.state is None:
+            first = render_fn(jax.tree.map(lambda x: x[0], inputs)) \
+                if render_fn is not None else inputs[0]
+            self.state = tracker.bootstrap(
+                jnp.asarray(first, jnp.float32), self.cfg, seed=self._seed)
+            self.trajectory.append(np.eye(4, dtype=np.float32))
+            self.metrics.log(kind="frame", frame=0, bootstrap=True,
+                             wall_s=time.perf_counter() - t0)
+            self.frame_idx = 1
+            inputs = jax.tree.map(lambda x: x[1:], inputs)
+            if jax.tree.leaves(inputs)[0].shape[0] == 0:
+                return {"frames": 1}
+
+        self.state, self.kf_store, sc = scan_driver.run_chunk(
+            self.state, self.kf_store, inputs, self.cfg,
+            self._maint_high_water, self._maint_min_free,
+            render_fn=render_fn)
+        sc = jax.device_get(sc)          # one bulk transfer per chunk
+        T = int(sc.pose.shape[0])
+        for i in range(T):
+            self.trajectory.append(np.asarray(sc.pose[i]))
+            self.metrics.log(
+                kind="frame", frame=self.frame_idx,
+                num_matches=int(sc.num_matches[i]),
+                num_inliers=int(sc.num_inliers[i]),
+                num_associated=int(sc.num_associated[i]),
+                num_tracked_map=int(sc.num_tracked_map[i]),
+                num_tracked_prov=int(sc.num_tracked_prov[i]),
+                num_pnp_inliers=int(sc.num_pnp_inliers[i]),
+                num_refined=int(sc.num_refined[i]),
+                num_promoted=int(sc.num_promoted[i]),
+                num_new_points=int(sc.num_new_points[i]),
+                num_dropped_inserts=int(sc.num_dropped_inserts[i]),
+                map_size=int(sc.map_size[i]),
+                map_alive=int(sc.map_alive[i]),
+                scale=float(sc.scale[i]),
+                success=bool(sc.success[i]),
+                keyframe=bool(sc.is_keyframe[i]),
+                ran_ba=False,
+                ran_maintenance=bool(sc.ran_maintenance[i]),
+            )
+            self.frame_idx += 1
+        self.dropped_inserts_total += int(sc.num_dropped_inserts.sum())
+        self.maintenance_runs += int(sc.ran_maintenance.sum())
+        n_new_kf = int(sc.is_keyframe.sum())
+        kf_before = self._kf_count
+        self._kf_count += n_new_kf
+        ran_ba = False
+        if (self.enable_ba and self._kf_count >= 3
+                and (self._kf_count // self.cfg.pipeline.local_ba_every
+                     > max(kf_before, 2)
+                     // self.cfg.pipeline.local_ba_every)):
+            ran_ba = True
+            self._run_window_ba()
+        info = {"frames": T, "ran_ba": ran_ba,
+                "wall_s": time.perf_counter() - t0}
+        return info
+
+    # ------------------------------------------------------------------
     def _shard_map(self, m):
         from ..parallel import sharded_map
         return sharded_map.shard_map_state(self.mesh, self._map_axis, m)
@@ -328,7 +433,20 @@ class SLAMSystem:
         steps = np.linalg.norm(np.diff(C_old[valid], axis=0), axis=1)
         baseline = float(np.median(steps)) if len(steps) else 1.0
         max_move = float(move.max()) if len(move) else 0.0
-        return max_move <= max(0.5 * baseline, 1e-3), max_move, baseline
+        # CORRECTION DEADBAND (round-5): also reject events whose
+        # correction is below 8% of the inter-keyframe baseline. A window
+        # solve always finds SOME sub-noise-floor adjustment, but a
+        # partial write-back (the problem caps landmarks at max_points,
+        # and anchors outside the window are untouched) moves only the
+        # in-window subset of the map — bifurcating it into two
+        # micro-frames no single pose can fit. Measured on the dense-box
+        # revisit: each accepted micro-event (moves 0.06-0.19x baseline)
+        # collapsed the subsequent PnP inlier count 54 -> 6 over the next
+        # 8 frames and the run's ATE went 0.17 -> 0.72; with the
+        # deadband, micro-polish is rejected and BA fires only on
+        # corrections that exceed the bifurcation cost.
+        return (max(0.08 * baseline, 1e-3) <= max_move
+                <= max(0.5 * baseline, 1e-3)), max_move, baseline
 
     # ------------------------------------------------------------------
     def _refine_structure(self):
@@ -353,9 +471,18 @@ class SLAMSystem:
         )
         solved, stats = ba.solve_robust(
             wp.problem, self._K, ba_cfg, reject_px=3.0, rounds=2)
+        # Promotion span bars tied to the GEOMETRIC promote bar (half of
+        # it for 3+-obs landmarks, the full bar for 2-obs ones via the
+        # doubled gate in apply_structure_result) — NOT to the much lower
+        # insertion bar: on an observation-dense scene the window is full
+        # of far landmarks with many obs but tiny ray spans, and
+        # promoting at the 2 deg insertion bar flooded PnP with weak
+        # anchors whose aggregate weight outvoted the strong ones
+        # (measured on the dense-box revisit: ATE 0.17 -> 1.19 from
+        # structure refinement alone at the 2 deg bar).
         new_map, n_promoted = keyframes.apply_structure_result(
             self.state.map, wp, solved,
-            jnp.deg2rad(cfg.triangulation.min_parallax_deg))
+            jnp.deg2rad(0.5 * cfg.triangulation.promote_parallax_deg))
         if self.mesh is not None:
             new_map = self._shard_map(new_map)
         self.state = self.state.replace(map=new_map)
@@ -377,8 +504,17 @@ class SLAMSystem:
             self.kf_store, self.state.map, self.cfg,
             free_tail=self.cfg.ba.free_cams, prov_min_obs=99,
         )
-        starved, n_obs, n_free = self._window_starved(wp)
-        if starved:
+        # All pre-solve gate statistics in ONE device fetch (the numpy
+        # guards each pulled observation arrays across the transport —
+        # ~2.5 s/event on the dev tunnel, dominating the chunked driver's
+        # per-chunk budget).
+        n_obs, n_free, deep_obs, solid_obs = (
+            int(x) for x in jax.device_get(
+                _window_gate_stats(wp.problem, wp.sel_prov)))
+        # starvation guard: a window whose FREE cameras carry almost no
+        # live observations is (near-)unconstrained (see _window_starved,
+        # kept for the direct pathology tests)
+        if n_obs < 8 * max(n_free, 1):
             self.metrics.log(kind="ba", frame=self.frame_idx,
                              skipped="starved", n_obs=n_obs, n_free=n_free,
                              ba_result_accepted=False)
@@ -395,14 +531,6 @@ class SLAMSystem:
         # small). Measured separation on the two regimes: corridor
         # deep_obs 4-99 per window vs dense-revisit 195-523 — the 120 bar
         # sits between with clear margin on both sides.
-        fixed = np.asarray(wp.problem.cam_fixed)
-        oc = np.asarray(wp.problem.obs_cam)
-        om = np.asarray(wp.problem.obs_mask)
-        pmask = np.asarray(wp.problem.point_mask)
-        nfix = (fixed[oc] & om).sum(axis=1)
-        nfree_o = ((~fixed[oc]) & om).sum(axis=1)
-        deep = pmask & (nfix >= 2) & (nfree_o >= 1)
-        deep_obs = int(om[deep].sum())
         if deep_obs < 120:
             self.metrics.log(kind="ba", frame=self.frame_idx,
                              skipped="shallow", deep_obs=deep_obs,
@@ -453,18 +581,11 @@ class SLAMSystem:
             # Only a window whose scale direction is genuinely observed —
             # >= 30 anchored-camera observations of NON-provisional
             # bridging landmarks (same bar as the gauge-pin test) — may
-            # re-gauge the tracker's scale. Exploration windows, whose
+            # re-gauge the tracker's scale (solid_obs comes from the
+            # single pre-solve gate fetch). Exploration windows, whose
             # solve can only ratify the young observations' drift
             # (measured: s_corr 0.89-0.97 every event during a scale
             # collapse), leave the motion model alone.
-            fixed_ = np.asarray(wp.problem.cam_fixed)
-            om = np.asarray(wp.problem.obs_mask)
-            ofix = fixed_[np.asarray(wp.problem.obs_cam)] & om
-            ofree = (~fixed_[np.asarray(wp.problem.obs_cam)]) & om
-            bridge = (ofix.any(axis=1) & ofree.any(axis=1)
-                      & np.asarray(wp.problem.point_mask)
-                      & ~np.asarray(wp.sel_prov))
-            solid_obs = int(ofix[bridge].sum())
             idx = np.where(np.asarray(wp.win_valid))[0]
             if (self.cfg.ba.rescale_motion_model and solid_obs >= 30
                     and len(idx) >= 2):

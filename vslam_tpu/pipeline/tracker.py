@@ -519,7 +519,17 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     dT_scaled = dT.at[:3, 3].set(
         dT[:3, 3] * jnp.where(t_mag > 1e-6, scale / jnp.maximum(t_mag, 1e-6),
                               1.0))
-    T_commit = jnp.where(pose_ok, state.pose @ dT_scaled, T_pnp)
+    # PnP-correction low-pass (PipelineConfig.pnp_blend): commit only a
+    # fraction of the correction relative to the essential candidate —
+    # persistent corrections integrate over a few frames, single-frame
+    # anchor noise is attenuated. Full correction during relocalization.
+    alpha = cfg.pipeline.pnp_blend
+    if alpha < 1.0:
+        xi_corr = lie.se3_log(lie.inv_T(new_pose) @ (state.pose @ dT_scaled))
+        T_blend = new_pose @ lie.se3_exp(alpha * xi_corr)
+        T_commit = jnp.where(pose_ok, T_blend, T_pnp)
+    else:
+        T_commit = jnp.where(pose_ok, state.pose @ dT_scaled, T_pnp)
     # the trust region gates the RAW solve (a diverged GN must not slip
     # through just because its magnitude gets sanitized by the re-gauge)
     pnp_ok = pnp_commit_ok(state.pose, T_pnp, scale, pose_ok,
@@ -620,19 +630,26 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     mapped_ok = (pend_valid & feats.mask & (map_id2 >= 0) & track_ok
                  & quality & id_ok)
     prov_id = ops.gather_prov(new_map, map_id2)
-    # GEOMETRIC PROMOTION (fallback path): a provisional landmark whose
-    # track has accumulated promote_parallax_deg (across breaks — the
-    # re-bind restore below keeps the founding record) re-triangulates at
-    # that wide baseline and clears its prov flag. The bar is deliberately
-    # high (8 deg vs the 2 deg insert bar): promotion feeds PnP anchors,
-    # and anchors promoted at minimal parallax carry a ~1% low depth bias
-    # that compounds through the anchor->pose->insert loop (measured:
-    # committed step scale 1.64 -> 0.15 over 150 corridor frames). The
-    # PRIMARY promotion path is an accepted window-BA event
-    # (keyframes.apply_window_result), whose joint estimate is bias-free.
-    promote = (mapped_ok & prov_id
-               & (parallax >
-                  jnp.deg2rad(cfg.triangulation.promote_parallax_deg)))
+    # GEOMETRIC PROMOTION: a provisional landmark whose track has
+    # accumulated enough parallax (across breaks — the re-bind restore
+    # below keeps the founding record) re-triangulates at that wide
+    # baseline and clears its prov flag. The bar is SUPPLY-ADAPTIVE
+    # (TriangulationConfig): promote_parallax_deg normally, relaxed to
+    # promote_parallax_lo_deg while this frame's live full-anchor count
+    # (pnp_mask, step 7b) is below anchor_target — exploration regimes
+    # starve for anchors and measurably prefer the lower bar, while
+    # observation-dense regimes have anchors to spare and measurably
+    # prefer the accuracy of the higher one. Promotion must not fire at
+    # minimal parallax regardless of supply: minimal-parallax anchors
+    # carry a ~1% low depth bias that compounds through the
+    # anchor->pose->insert loop (measured: committed step scale
+    # 1.64 -> 0.15 over 150 corridor frames).
+    n_full_anchors = pnp_mask.sum()
+    promote_bar = jnp.where(
+        n_full_anchors < cfg.triangulation.anchor_target,
+        jnp.deg2rad(cfg.triangulation.promote_parallax_lo_deg),
+        jnp.deg2rad(cfg.triangulation.promote_parallax_deg))
+    promote = mapped_ok & prov_id & (parallax > promote_bar)
     refine = (mapped_ok & ~prov_id
               & (pend_par < FROZEN)
               & (parallax > 2.0 * pend_par)
@@ -692,6 +709,22 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     pend_par = jnp.where(promote, parallax, pend_par)  # future 8b at 2x this
     pend_par = jnp.where(refine, FROZEN, pend_par)   # one shot only
     pend_valid = keep | start_new
+
+    # Rotation low-pass (PipelineConfig.rot_smooth): blend the committed
+    # rotation toward the constant-velocity prediction on healthy tracked
+    # frames — the independent per-frame rotation noise random-walks to
+    # several degrees of yaw over hundreds of frames (the dominant
+    # long-corridor error term; scale stays flat to 0.1%), while the
+    # prediction already carries any steady turn rate.
+    beta = cfg.pipeline.rot_smooth
+    if beta > 0:
+        R_pred = (state.pose @ state.vel)[:3, :3]
+        R_meas = new_pose[:3, :3]
+        dw = lie.so3_log(R_pred.T @ R_meas)
+        R_blend = R_pred @ lie.so3_exp((1.0 - beta) * dw)
+        use_blend = pose_ok & jnp.isfinite(R_blend).all()
+        new_pose = jnp.where(use_blend,
+                             new_pose.at[:3, :3].set(R_blend), new_pose)
 
     # SO(3) re-projection of the committed pose: the pose is a product
     # chain (~a dozen float32 4x4 products per frame through the PnP
