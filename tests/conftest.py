@@ -28,9 +28,11 @@ import pytest  # noqa: E402
 
 def pytest_collection_modifyitems(config, items):
     """Two-tier suite (VERDICT r03 next #2): everything not marked ``slow``
-    is ``quick``. ``pytest -m quick`` is the pre-commit tier (< 5 min on
-    the 8-device CPU mesh); the full suite adds the multi-minute
-    sharded-tracking / multi-process / mesh-fan tests."""
+    is ``quick``. ``pytest -m quick`` is the pre-commit tier — measured
+    6-8.5 min wall on this machine's 8-device CPU mesh (the old '< 5 min'
+    claim was never re-timed here; VERDICT r04 weak #4); the full suite
+    adds the multi-minute sharded-tracking / multi-process / mesh-fan
+    tests (~14 min more)."""
     for item in items:
         if "slow" not in item.keywords:
             item.add_marker(pytest.mark.quick)

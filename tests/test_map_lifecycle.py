@@ -103,9 +103,16 @@ def test_slam_system_bounded_map_no_drops():
     from vslam_tpu.datasets import synthetic
     from vslam_tpu.pipeline.slam import SLAMSystem
 
-    # capacity sized to the parallax-gated insertion rate (~6/frame): a
-    # 24-frame run must overflow it so maintenance genuinely triggers
-    cfg = small_config().replace(map=MapConfig(capacity=64, obs_per_point=4,
+    # Capacity sized so maintenance triggers mid-run AND the no-drop
+    # contract is satisfiable: the zero-drop guarantee requires the
+    # maintenance headroom (max(cap//10, min(cap//2, max_keypoints)),
+    # slam.py) to cover a worst-case single-frame insert burst. The
+    # round-5 provisional tier inserts 20-40/frame on this dense scene
+    # (the old capacity=64 left 32 slots of headroom and was sized to the
+    # pre-provisional ~6/frame rate — it now drops by design, not by
+    # bug). 512 gives headroom 256 = the keypoint budget (the true burst
+    # bound) and still overflows within ~8 frames.
+    cfg = small_config().replace(map=MapConfig(capacity=512, obs_per_point=4,
                                                block_size=32))
     K = cfg.camera.K()
     scene = synthetic.make_scene(num_points=3000, seed=3, extent=(40, 10, 80),
@@ -120,7 +127,7 @@ def test_slam_system_bounded_map_no_drops():
 
     assert sys_.maintenance_runs >= 1, "maintenance never triggered"
     assert sys_.dropped_inserts_total == 0, "silent insert drops"
-    assert all(i["map_size"] <= 256 for i in infos[1:])
+    assert all(i["map_size"] <= 512 for i in infos[1:])   # within capacity
     # tracking survived the id remap
     assert all(i["success"] for i in infos[-5:])
     assert infos[-1]["num_inliers"] > 30

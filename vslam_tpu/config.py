@@ -169,26 +169,15 @@ class TriangulationConfig:
     # persists in the map across the detector misses that kill ~33% of
     # mapped-keypoint matches per frame, KERNELS_r04.md §5) but excluded
     # from PnP anchoring and the scale-ratio estimate until the track
-    # matures to min_parallax_deg, at which point the landmark is
-    # re-triangulated at the full baseline and promoted. This thickens the
+    # matures to the supply-adaptive promotion bar below, at which point
+    # the landmark is re-triangulated at that baseline and promoted
+    # (tracker 8b; cross-break maturity via MapState.first_*). This
+    # thickens the
     # anchor supply (the r04 corridor had ~14 alive landmarks in view per
     # frame — the hard cap on PnP anchoring) without the depth-bias
     # compounding that globally lowering min_parallax_deg was measured to
     # reintroduce. 0 disables the tier (inserts only at min_parallax_deg).
     prov_parallax_deg: float = 0.5
-    # Geometric promotion bar (tracker step 8b): a provisional landmark
-    # whose track accumulates THIS much parallax re-triangulates and
-    # promotes without waiting for BA. Deliberately much higher than
-    # min_parallax_deg: promotion feeds PnP anchors, and anchors promoted
-    # right at the 2 deg bar carry the ~1% low depth bias that COMPOUNDS
-    # through the anchor->pose->insert loop (measured on the corridor:
-    # committed step scale decayed 1.64 -> 0.15 over 150 frames, ATE
-    # 0.045 -> 9.0, when promotion happened at min_parallax_deg). The
-    # PRIMARY promotion path is window BA (keyframes.apply_window_result):
-    # an accepted event promotes landmarks it solved with >= 3
-    # observations — a joint pose+depth estimate has no one-sided bias to
-    # compound. This geometric bar is the fallback for BA-off runs and
-    # for landmarks BA never covers.
     # SUPPLY-ADAPTIVE promotion (tracker 8b): a provisional landmark
     # promotes at promote_parallax_deg; while the frame's live FULL-anchor
     # count sits below anchor_target, the bar relaxes to

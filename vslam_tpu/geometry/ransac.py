@@ -316,11 +316,14 @@ def _pose_stage1(Fs, uv1, uv2, valid_mask, K, inlier_threshold,
     return combined_v, Rs, ts
 
 
-def _pose_stage2(Fk, Rk, tk, uv1, uv2, valid_mask, K, inlier_threshold):
-    """Full-N re-scoring of the k leader hypotheses; exact winner pick.
-
-    Returns (F, R, t, votes (4,), inliers (N,), num ()).
-    """
+def _pose_stage2_rank(Fk, Rk, tk, uv1, uv2, valid_mask, K,
+                      inlier_threshold):
+    """The per-match half of stage 2 over (a slice of) the match axis:
+    per-leader cheirality votes (k, 4) and truncated-residual scores (k,).
+    Pure sums over matches — a sharded caller computes this on an N/D
+    slice per device and psums the two outputs
+    (parallel/sharded_ransac.py); the sums are then identical to the
+    single-device full-N quantities."""
     from . import epipolar
 
     resid_k = epipolar.sampson_error(Fk, uv1, uv2)          # (k, N)
@@ -330,11 +333,21 @@ def _pose_stage2(Fk, Rk, tk, uv1, uv2, valid_mask, K, inlier_threshold):
         K, Rk, tk, uv1, uv2)                                # (k, 4, N)
     good_k = samp_k[:, None, :] & (z1k > 0) & (z2k > 0)
     votes_k = good_k.sum(axis=2)                            # (k, 4)
-    counts_k = votes_k.max(axis=1)
-    cand_k = votes_k.argmax(axis=1)
     trunc_k = jnp.minimum(resid_k, inlier_threshold)
     trunc_k = jnp.where(jnp.isfinite(trunc_k), trunc_k, 0.0)
-    score_k = trunc_k.sum(axis=1)
+    score_k = trunc_k.sum(axis=1)                           # (k,)
+    return votes_k, score_k
+
+
+def _pose_stage2_select(Fk, Rk, tk, votes_k, score_k, uv1, uv2, valid_mask,
+                        K, inlier_threshold):
+    """Winner selection from (full-N) votes/scores + the winner's exact
+    inlier mask. The single-model mask recompute is 1/k of the ranking
+    work, so a sharded caller runs it replicated."""
+    from . import epipolar
+
+    counts_k = votes_k.max(axis=1)
+    cand_k = votes_k.argmax(axis=1)
     combined_k = counts_k.astype(jnp.float32) \
         - score_k / (score_k.max() + 1.0)
     bk = jnp.argmax(combined_k)
@@ -342,10 +355,25 @@ def _pose_stage2(Fk, Rk, tk, uv1, uv2, valid_mask, K, inlier_threshold):
     F = Fk[bk]
     R = Rk[bk, cand_k[bk]]
     t = tk[bk, cand_k[bk]]
-    best_votes = votes_k[bk]                                # (4,) full-N
-    inl = good_k[bk, cand_k[bk]] & valid_mask
+    best_votes = votes_k[bk]                                # (4,)
+    resid = epipolar.sampson_error(F[None], uv1, uv2)[0]
+    samp = (resid <= inlier_threshold) & valid_mask
+    z1, z2 = epipolar.triangulate_midpoint_depths(K, R, t, uv1, uv2)  # (N,)
+    inl = samp & (z1 > 0) & (z2 > 0)
     num = inl.sum().astype(jnp.int32)
     return F, R, t, best_votes, inl, num
+
+
+def _pose_stage2(Fk, Rk, tk, uv1, uv2, valid_mask, K, inlier_threshold):
+    """Full-N re-scoring of the k leader hypotheses; exact winner pick.
+
+    Returns (F, R, t, votes (4,), inliers (N,), num ()).
+    """
+    votes_k, score_k = _pose_stage2_rank(
+        Fk, Rk, tk, uv1, uv2, valid_mask, K, inlier_threshold)
+    return _pose_stage2_select(
+        Fk, Rk, tk, votes_k, score_k, uv1, uv2, valid_mask, K,
+        inlier_threshold)
 
 
 def _pose_refine(R, t, inl, uv1, uv2, valid_mask, K, inlier_threshold,

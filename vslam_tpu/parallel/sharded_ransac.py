@@ -181,9 +181,30 @@ def ransac_pose_hypsharded(
     # the same order a single top_k over the full batch would produce
     order = jnp.lexsort((gid, -sc))
     sel = order[:k]
-    F, R, t, best_votes, inl, num = _pose_stage2(
-        Fg[sel], Rg[sel], tg[sel], uv1, uv2, valid_mask, K,
-        inlier_threshold)
+    # stage-2 ranking SHARDED OVER THE MATCH AXIS (round-5: the replicated
+    # stage-2 + refine tail bounded the sharded mode at ~1.45 ms whatever
+    # D — KERNELS_r05): each device scores the k leaders on its N/D match
+    # slice; the per-leader (votes, score) sums psum to the exact full-N
+    # quantities, so selection is identical to the replicated program.
+    # The winner's single-model inlier mask and the multistart refine stay
+    # replicated (1/k of the ranking work and latency-bound respectively).
+    N = uv1.shape[0]
+    if N % n_dev == 0:
+        Nl = N // n_dev
+        s0 = me * Nl
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, Nl, axis=0)
+        votes_k, score_k = ransac_mod._pose_stage2_rank(
+            Fg[sel], Rg[sel], tg[sel], sl(uv1), sl(uv2), sl(valid_mask),
+            K, inlier_threshold)
+        votes_k = jax.lax.psum(votes_k, axis_name)
+        score_k = jax.lax.psum(score_k, axis_name)
+    else:
+        votes_k, score_k = ransac_mod._pose_stage2_rank(
+            Fg[sel], Rg[sel], tg[sel], uv1, uv2, valid_mask, K,
+            inlier_threshold)
+    F, R, t, best_votes, inl, num = ransac_mod._pose_stage2_select(
+        Fg[sel], Rg[sel], tg[sel], votes_k, score_k, uv1, uv2, valid_mask,
+        K, inlier_threshold)
     F, R, t, inl, num = _pose_refine(
         R, t, inl, uv1, uv2, valid_mask, K, inlier_threshold, refine_iters)
 

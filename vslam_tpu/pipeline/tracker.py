@@ -12,12 +12,16 @@ Improvements over the reference (deliberate, per SURVEY.md §7):
   * world-frame-consistent map (the reference triangulates every pair in the
     *previous camera's* frame and inserts those coordinates directly into the
     global map, src/vslam.cpp:123-125,186 — mixing frames);
-  * PnP map tracking: the committed pose is a pose-only GN over every
-    map-anchored keypoint (geometry/pnp.py), with the essential-matrix chain
-    + re-observed-depth scale estimate only as candidate/bootstrap/fallback
-    (the reference uses unit translation every step, src/helpers.cpp:12;
-    pure scale chaining compounds multiplicatively — measured ~1%/frame
-    decay on long corridors, see _step_impl step 7b);
+  * PnP map tracking with SCALE FACTORIZATION: map anchors (pose-only GN,
+    geometry/pnp.py, maturity-weighted) govern rotation, direction and
+    lateral drift — the modes landmarks genuinely pin down — while the
+    step MAGNITUDE follows the motion model + absolute map-ratio clamp;
+    committing |t_pnp| from self-triangulated anchors closes a measured
+    scale-feedback loop (step 7b). Which path GOVERNS is regime-dependent
+    and honest: on anchor-rich scenes PnP commits nearly every frame; on
+    exploration it corrects the essential chain when its support clears
+    the commit gate (the reference uses unit translation every step,
+    src/helpers.cpp:12);
   * proper cheirality, triangulation gates, argmin association.
 """
 from __future__ import annotations
@@ -452,18 +456,21 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
                           state.frame_idx)
     assoc_found = assoc.point_id >= 0
 
-    # 7b. PnP map tracking — the PRIMARY pose path (geometry/pnp.py).
-    # Pose-only GN over every keypoint that carries a map id (propagated
-    # along matches + freshly associated): 3D->2D anchoring to the map.
-    # The essential-matrix chain (5) alone compounds its per-frame scale
-    # estimate multiplicatively — measured on the 600-frame corridor it
-    # decays ~1%/frame (1.0 -> 0.05 by frame 200, with or without BA)
-    # until association dies and the chain explodes. Anchoring each pose to
-    # the landmarks themselves removes the multiplicative chain: scale
-    # errors stay O(landmark noise), corrected further by window BA. The
-    # same refine doubles as blackout relocalization (pose_ok false, the
-    # extrapolated candidate re-acquires the surviving map); the reference
-    # has no recovery path at all (SURVEY.md §5, src/Frame.cpp:56).
+    # 7b. PnP map tracking (geometry/pnp.py): pose-only GN over every
+    # keypoint that carries a FULL map id (propagated along matches +
+    # freshly associated), maturity-weighted — 3D->2D anchoring of
+    # rotation, direction and lateral drift to the map. The committed
+    # step MAGNITUDE stays with the scale estimator (see the scale
+    # factorization below): both pure chains compound multiplicatively
+    # when they own scale — the essential chain through its per-frame
+    # scale estimate (measured ~1%/frame decay, r03) and the PnP chain
+    # through self-triangulated anchor depths (measured 1.5%/frame, r05,
+    # KERNELS_r05 §3) — so each mode is governed by the signal that
+    # actually observes it. The same refine doubles as blackout
+    # relocalization (pose_ok false: the extrapolated candidate
+    # re-acquires the surviving map at full anchor authority); the
+    # reference has no recovery path at all (SURVEY.md §5,
+    # src/Frame.cpp:56).
     pnp_ids = jnp.where(assoc_found, assoc.point_id, map_id2)
     pnp_prov = ops.gather_prov(new_map, pnp_ids)
     # provisional landmarks inform association (identity) but must not
