@@ -173,6 +173,19 @@ def _masked_median(x, mask, fallback):
     return jnp.where(n > 0, med, fallback)
 
 
+def _masked_medians(cols, masks, fallbacks):
+    """Columnwise masked medians of cols (N, k) — one sort kernel for all k
+    columns (columnwise identical to ``_masked_median``; the step needs
+    three medians and a (N,) TPU sort is launch-bound, so batching them
+    is ~3x cheaper)."""
+    big = jnp.where(masks, cols, jnp.inf)
+    s = jnp.sort(big, axis=0)
+    n = masks.sum(axis=0)
+    mid = jnp.clip(jnp.maximum(n - 1, 0) // 2, 0, cols.shape[0] - 1)
+    med = jnp.take_along_axis(s, mid[None, :], axis=0)[0]
+    return jnp.where(n > 0, med, fallbacks)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "seed"))
 def bootstrap(img, cfg: VSLAMConfig, seed: int = 0) -> TrackerState:
     """Initialize from the first frame (reference src/vslam.cpp:67-69)."""
@@ -385,7 +398,14 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     n_ratio = ratio_ok.sum()
     scale_ref = jnp.linalg.norm(state.vel[:3, 3])
     scale_ref = jnp.where(scale_ref > 1e-6, scale_ref, state.scale)
-    med = _masked_median(ratio, ratio_ok, scale_ref)
+    # one sort kernel serves all three step medians: the scale ratio here
+    # and the two flow components of step 6 (hop depends only on the match)
+    hop = feats.uv[mres.idx2] - state.prev.uv            # (N, 2) by source
+    meds = _masked_medians(
+        jnp.stack([ratio, hop[:, 0], hop[:, 1]], axis=1),
+        jnp.stack([ratio_ok, m_valid, m_valid], axis=1),
+        jnp.stack([scale_ref, jnp.zeros(()), jnp.zeros(())]))
+    med, med_fx, med_fy = meds[0], meds[1], meds[2]
     # The candidate magnitude IS the motion model; the measured median only
     # clamps it (gross-change guard after relocalization / speed jumps).
     # Using the median directly re-introduced a compounding ~1%/frame
@@ -418,28 +438,43 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     # track survives re-detection; cross-checked matching keeps idx2 unique
     # among valid). Mapped keypoints keep it for widest-baseline landmark
     # refinement (step 8).
+    #
+    # Every f32 per-match payload rides ONE packed scatter: idx2 is unique
+    # among valid rows (cross-check), and each payload's gated no-op value
+    # equals its destination's initial value (zeros for the pend record and
+    # the inlier flag, the median flow for new_flow), so gating the VALUE
+    # instead of the index is equivalent to the per-payload masked scatters
+    # it replaces — 7 scatter kernels fold into 1 (KERNELS_r05 §7 glue).
     pend_src = m_valid & state.pend_valid
-    ptgt = jnp.where(pend_src, mres.idx2, N)
-    pend_uv = jnp.zeros((N, 2), jnp.float32).at[ptgt].set(
-        state.pend_uv, mode="drop")
-    pend_P = jnp.zeros((N, 3, 4), jnp.float32).at[ptgt].set(
-        state.pend_P, mode="drop")
-    pend_C = jnp.zeros((N, 3), jnp.float32).at[ptgt].set(
-        state.pend_C, mode="drop")
-    pend_desc = jnp.zeros((N, 8), jnp.uint32).at[ptgt].set(
-        state.pend_desc, mode="drop")
-    pend_par = jnp.zeros((N,), jnp.float32).at[ptgt].set(
-        state.pend_par, mode="drop")
-    pend_valid = jnp.zeros((N,), bool).at[ptgt].set(True, mode="drop")
-    # per-keypoint flow of this hop, scattered to CURRENT keypoints; fresh
-    # detections (no hop) get the median matched flow — the global image
-    # motion is the best prior for their first carry prediction
-    hop = feats.uv[mres.idx2] - state.prev.uv            # (N, 2) by source
-    med_fx = _masked_median(hop[:, 0], m_valid, 0.0)
-    med_fy = _masked_median(hop[:, 1], m_valid, 0.0)
-    new_flow = jnp.broadcast_to(jnp.stack([med_fx, med_fy]), (N, 2))
+    g = pend_src[:, None]
     ftgt = jnp.where(m_valid, mres.idx2, N)
-    new_flow = new_flow.at[ftgt].set(hop, mode="drop")
+    payload = jnp.concatenate([
+        jnp.where(g, state.pend_uv, 0.0),              # 0:2   pend_uv
+        jnp.where(g, state.pend_P.reshape(N, 12), 0.0),  # 2:14  pend_P
+        jnp.where(g, state.pend_C, 0.0),               # 14:17 pend_C
+        jnp.where(g, state.pend_par[:, None], 0.0),    # 17    pend_par
+        g.astype(jnp.float32),                         # 18    pend_valid
+        hop,                                           # 19:21 flow of the hop
+        (m_valid & rres.inliers)[:, None].astype(jnp.float32),  # 21 inlier
+    ], axis=1)
+    # fresh detections (no hop) get the median matched flow — the global
+    # image motion is the best prior for their first carry prediction
+    init = jnp.concatenate([
+        jnp.zeros((N, 19), jnp.float32),
+        jnp.broadcast_to(jnp.stack([med_fx, med_fy]), (N, 2)),
+        jnp.zeros((N, 1), jnp.float32),
+    ], axis=1)
+    packed = init.at[ftgt].set(payload, mode="drop")
+    pend_uv = packed[:, 0:2]
+    pend_P = packed[:, 2:14].reshape(N, 3, 4)
+    pend_C = packed[:, 14:17]
+    pend_par = packed[:, 17]
+    pend_valid = packed[:, 18] > 0.5
+    new_flow = packed[:, 19:21]
+    # epipolar consistency this frame, per current keypoint (used in step 8)
+    inl_kp = packed[:, 21] > 0.5
+    pend_desc = jnp.zeros((N, 8), jnp.uint32).at[ftgt].set(
+        jnp.where(g, state.pend_desc, 0), mode="drop")
 
     # propagated points get a fresh observation descriptor recorded
     new_map = ops.observe(
@@ -580,10 +615,6 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
             jnp.deg2rad(cfg.triangulation.prov_parallax_deg))
     else:
         par_ok_ins = par_ok
-    # epipolar consistency this frame, scattered per current keypoint
-    inl_kp = jnp.zeros((N,), bool).at[
-        jnp.where(m_valid & rres.inliers, mres.idx2, N)].set(
-            True, mode="drop")
     # TRACK IDENTITY gate: the current descriptor must still match the
     # track's FIRST observation. A chained match can hop to a nearby corner
     # (per-hop mis-association compounds over a track's life), and for
