@@ -37,7 +37,8 @@ def test_compact_packs_alive_and_remaps():
         new = remap[old]
         assert new >= 0
         np.testing.assert_allclose(np.asarray(m2.xyz)[new], xyz[old])
-        np.testing.assert_array_equal(np.asarray(m2.desc)[new, 0], desc[old])
+        np.testing.assert_array_equal(
+            np.asarray(m2.desc)[new * m2.obs_slots], desc[old])
     # dead slots map to -1
     assert (remap[:40][kill[:40]] == -1).all()
     assert (remap[40:] == -1).all()

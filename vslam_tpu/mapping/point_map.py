@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig, MatchingConfig
+from ..core import types
 from ..core.types import MapState
 from ..frontend.descriptors import unpack_bits
 
@@ -56,6 +57,7 @@ def insert_points(m: MapState, xyz, color, desc, valid, frame_idx=0,
     via ``evict_lru`` + ``compact`` before the cursor gets there.
     """
     C = m.capacity
+    K = m.obs_slots
     B = valid.shape[0]
     if provisional is None:
         provisional = jnp.zeros_like(valid)
@@ -70,18 +72,14 @@ def insert_points(m: MapState, xyz, color, desc, valid, frame_idx=0,
     offs = jnp.cumsum(valid.astype(jnp.int32)) - 1          # (B,)
     pos = jnp.where(valid, m.size + offs, C)                # C = out-of-range -> drop
     pos = jnp.where(pos < C, pos, C)
+    payload = types.pack_pt_rows(xyz, conf, color, first_uv, first_C, first_P)
     m2 = MapState(
-        xyz=m.xyz.at[pos].set(xyz, mode="drop"),
-        color=m.color.at[pos].set(color, mode="drop"),
-        desc=m.desc.at[pos, 0].set(desc, mode="drop"),
+        pt=m.pt.at[pos].set(payload, mode="drop"),
+        desc=m.desc.at[pos * K].set(desc, mode="drop"),   # founding = slot 0
         desc_count=m.desc_count.at[pos].set(1, mode="drop"),
         alive=m.alive.at[pos].set(True, mode="drop"),
         last_seen=m.last_seen.at[pos].set(
             jnp.asarray(frame_idx, jnp.int32), mode="drop"),
-        first_uv=m.first_uv.at[pos].set(first_uv, mode="drop"),
-        first_P=m.first_P.at[pos].set(first_P, mode="drop"),
-        first_C=m.first_C.at[pos].set(first_C, mode="drop"),
-        conf=m.conf.at[pos].set(conf, mode="drop"),
         prov=m.prov.at[pos].set(provisional, mode="drop"),
         size=jnp.minimum(m.size + valid.sum().astype(jnp.int32), C),
     )
@@ -96,12 +94,12 @@ def add_observations(m: MapState, point_ids, desc, valid, frame_idx=0) -> MapSta
     version of the reference pushing onto frame_ids/frame_point_ids
     (src/vslam.cpp:116-117,154-156).
     """
-    K = m.desc.shape[1]
+    K = m.obs_slots
     ok = valid & (point_ids >= 0)
     pid = jnp.where(ok, point_ids, m.capacity)  # drop via out-of-range
     slot = jnp.where(ok, m.desc_count[jnp.clip(point_ids, 0, m.capacity - 1)] % K, 0)
     return m.replace(
-        desc=m.desc.at[pid, slot].set(desc, mode="drop"),
+        desc=m.desc.at[pid * K + slot].set(desc, mode="drop"),
         desc_count=m.desc_count.at[pid].add(ok.astype(jnp.int32), mode="drop"),
         last_seen=m.last_seen.at[pid].set(
             jnp.asarray(frame_idx, jnp.int32), mode="drop"),
@@ -163,27 +161,23 @@ def compact(m: MapState):
     the reference's never-shrinking realloc map (src/PointMap.cpp:5-15).
     """
     C = m.capacity
+    K = m.obs_slots
     in_cursor = jnp.arange(C) < m.size
     keep = m.alive & in_cursor
     new_pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     remap = jnp.where(keep, new_pos, -1)
     dst = jnp.where(keep, new_pos, C)                        # C -> drop
+    # archive rows move with their point: flat row p*K+k -> new_pos*K+k
+    ddst = (dst[:, None] * K + jnp.arange(K, dtype=dst.dtype)[None, :]
+            ).reshape(-1)                                    # >= C*K -> drop
     m2 = MapState(
-        xyz=jnp.zeros_like(m.xyz).at[dst].set(m.xyz, mode="drop"),
-        color=jnp.zeros_like(m.color).at[dst].set(m.color, mode="drop"),
-        desc=jnp.zeros_like(m.desc).at[dst].set(m.desc, mode="drop"),
+        pt=jnp.zeros_like(m.pt).at[dst].set(m.pt, mode="drop"),
+        desc=jnp.zeros_like(m.desc).at[ddst].set(m.desc, mode="drop"),
         desc_count=jnp.zeros_like(m.desc_count).at[dst].set(
             m.desc_count, mode="drop"),
         alive=jnp.zeros_like(m.alive).at[dst].set(keep, mode="drop"),
         last_seen=jnp.zeros_like(m.last_seen).at[dst].set(
             m.last_seen, mode="drop"),
-        first_uv=jnp.zeros_like(m.first_uv).at[dst].set(
-            m.first_uv, mode="drop"),
-        first_P=jnp.zeros_like(m.first_P).at[dst].set(
-            m.first_P, mode="drop"),
-        first_C=jnp.zeros_like(m.first_C).at[dst].set(
-            m.first_C, mode="drop"),
-        conf=jnp.zeros_like(m.conf).at[dst].set(m.conf, mode="drop"),
         prov=jnp.zeros_like(m.prov).at[dst].set(m.prov, mode="drop"),
         size=keep.sum().astype(jnp.int32),
     )
@@ -254,7 +248,7 @@ def associate(
     B = map_cfg.block_size
     assert C % B == 0
     N = kp_uv.shape[0]
-    K = m.desc.shape[1]
+    K = m.obs_slots
     r_sq = match_cfg.search_radius ** 2
     reacq_r_sq = match_cfg.reacq_radius ** 2
 
@@ -272,9 +266,11 @@ def associate(
 
     def _block_work(carry, start):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, B, axis=0)
-        xyz = sl(m.xyz)                               # (B, 3)
+        # xyz = the first 3 packed columns; slice only those (types.PT_XYZ)
+        xyz = jax.lax.dynamic_slice(m.pt, (start, 0), (B, 3))   # (B, 3)
         alive = sl(m.alive)
-        desc = sl(m.desc)                             # (B, K, 8)
+        desc = jax.lax.dynamic_slice_in_dim(
+            m.desc, start * K, B * K, 0).reshape(B, K, 8)
         dcount = sl(m.desc_count)
 
         Xh = jnp.concatenate([xyz, jnp.ones_like(xyz[:, :1])], axis=1)

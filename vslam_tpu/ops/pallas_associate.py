@@ -246,7 +246,7 @@ def associate_fused(m, P, kp_uv, kp_desc, kp_free, map_cfg, match_cfg,
     from ..frontend.descriptors import unpack_bits
 
     C = m.capacity
-    K = m.desc.shape[1]
+    K = m.obs_slots
     N = kp_uv.shape[0]
     bm = _pick_bm(C)
     assert bm, f"capacity {C} not tileable"

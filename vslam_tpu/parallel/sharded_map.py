@@ -39,17 +39,14 @@ def map_state_specs(axis_name: str) -> MapState:
     """PartitionSpec pytree for a MapState sharded along the point axis.
     Use with jax.device_put / jit in_shardings so insert/cull/compact run
     under sharding propagation without manual collectives."""
+    # desc is point-major flat (C*K, 8): splitting its row axis across D
+    # shards hands each shard exactly its points' contiguous archive rows
     return MapState(
-        xyz=P(axis_name),
-        color=P(axis_name),
+        pt=P(axis_name),
         desc=P(axis_name),
         desc_count=P(axis_name),
         alive=P(axis_name),
         last_seen=P(axis_name),
-        first_uv=P(axis_name),
-        first_P=P(axis_name),
-        first_C=P(axis_name),
-        conf=P(axis_name),
         prov=P(axis_name),
         size=P(),
     )

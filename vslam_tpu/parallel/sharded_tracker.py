@@ -56,6 +56,7 @@ from jax.sharding import PartitionSpec as P
 from ..config import VSLAMConfig
 from ..mapping import point_map
 from ..mapping.point_map import AssociationResult
+from ..core import types
 from ..core.types import MapState
 from . import sharded_map
 
@@ -84,9 +85,11 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
         return AssociationResult(
             point_id=jnp.where(gbest < GC, gbest, -1), distance=gmin)
 
-    def gather_xyz(m, ids):
+    def gather_pt(m, ids):
+        # one gather + ONE psum serves xyz, conf and the founding record
+        # (exact: each id has a single owning shard contributing nonzero)
         owned = (ids >= start) & (ids < start + Cs)
-        rows = m.xyz[jnp.clip(ids - start, 0, Cs - 1)]
+        rows = m.pt[jnp.clip(ids - start, 0, Cs - 1)]
         contrib = jnp.where(owned[:, None], rows, 0.0)
         return jax.lax.psum(contrib, axis)
 
@@ -103,18 +106,16 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
         pos = jnp.where(valid, m.size + offs, GC)
         pos = jnp.where(pos < GC, pos, GC)
         dst = jnp.where((pos >= start) & (pos < start + Cs), pos - start, Cs)
+        K = m.obs_slots
+        payload = types.pack_pt_rows(xyz, conf, color, first_uv, first_C,
+                                     first_P)
         return MapState(
-            xyz=m.xyz.at[dst].set(xyz, mode="drop"),
-            color=m.color.at[dst].set(color, mode="drop"),
-            desc=m.desc.at[dst, 0].set(desc, mode="drop"),
+            pt=m.pt.at[dst].set(payload, mode="drop"),
+            desc=m.desc.at[dst * K].set(desc, mode="drop"),
             desc_count=m.desc_count.at[dst].set(1, mode="drop"),
             alive=m.alive.at[dst].set(True, mode="drop"),
             last_seen=m.last_seen.at[dst].set(
                 jnp.asarray(frame, jnp.int32), mode="drop"),
-            first_uv=m.first_uv.at[dst].set(first_uv, mode="drop"),
-            first_P=m.first_P.at[dst].set(first_P, mode="drop"),
-            first_C=m.first_C.at[dst].set(first_C, mode="drop"),
-            conf=m.conf.at[dst].set(conf, mode="drop"),
             prov=m.prov.at[dst].set(provisional, mode="drop"),
             size=jnp.minimum(m.size + valid.sum().astype(jnp.int32), GC),
         )
@@ -125,8 +126,11 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
         dst = jnp.where(owned, ids - start, Cs)
         powned = promote & (ids >= start) & (ids < start + Cs)
         pdst = jnp.where(powned, ids - start, Cs)
-        return m.replace(xyz=m.xyz.at[dst].set(xyz, mode="drop"),
-                         conf=m.conf.at[dst].set(conf, mode="drop"),
+        # full-row gather-modify-scatter (a column-sliced scatter lowers to
+        # a serial per-row loop — see tracker.default_map_ops.update_xyz)
+        rows = m.pt[jnp.clip(dst, 0, Cs - 1)]
+        rows = jnp.concatenate([xyz, conf[:, None], rows[:, 4:]], axis=1)
+        return m.replace(pt=m.pt.at[dst].set(rows, mode="drop"),
                          prov=m.prov.at[pdst].set(False, mode="drop"))
 
     def gather_prov(m, ids):
@@ -135,22 +139,6 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
         contrib = jnp.where(owned & (ids >= 0), rows, False)
         # exact: each id has a single owning shard; OR == psum over bools
         return jax.lax.psum(contrib.astype(jnp.int32), axis) > 0
-
-    def gather_conf(m, ids):
-        owned = (ids >= start) & (ids < start + Cs)
-        rows = m.conf[jnp.clip(ids - start, 0, Cs - 1)]
-        contrib = jnp.where(owned & (ids >= 0), rows, 0.0)
-        return jax.lax.psum(contrib, axis)
-
-    def gather_first(m, ids):
-        owned = (ids >= start) & (ids < start + Cs)
-        sl = jnp.clip(ids - start, 0, Cs - 1)
-        uv = jnp.where(owned[:, None], m.first_uv[sl], 0.0)
-        Pm = jnp.where(owned[:, None, None], m.first_P[sl], 0.0)
-        Cm = jnp.where(owned[:, None], m.first_C[sl], 0.0)
-        # exact: single owning shard per id contributes nonzero rows
-        return (jax.lax.psum(uv, axis), jax.lax.psum(Pm, axis),
-                jax.lax.psum(Cm, axis))
 
     def cull(m, frame):
         out = point_map.cull_stale(local_view(m), frame)
@@ -162,8 +150,7 @@ def _local_ops(cfg: VSLAMConfig, axis: str, Cs: int, W: int, H: int):
         return jax.lax.psum(local, axis)
 
     return MapOps(observe=observe, associate=associate,
-                  gather_xyz=gather_xyz, gather_prov=gather_prov,
-                  gather_conf=gather_conf, gather_first=gather_first,
+                  gather_pt=gather_pt, gather_prov=gather_prov,
                   insert=insert, update_xyz=update_xyz, cull=cull,
                   alive_count=alive_count, global_capacity=GC)
 

@@ -273,14 +273,18 @@ def apply_structure_result(m: MapState, wp: WindowProblem,
     # median once such depths reach z_map. Un-promotable landmarks keep
     # their sane low-parallax inits until they earn more span.
     pdst = jnp.where(promote, wp.sel_pid, cap)
-    new_xyz = m.xyz.at[pdst].set(solved.points, mode="drop")
-    new_prov = m.prov.at[pdst].set(False, mode="drop")
     # maturity confidence = the achieved ray span (radians) — feeds the
-    # inverse-variance PnP anchor weighting (MapState.conf)
+    # inverse-variance PnP anchor weighting (MapState.conf); xyz|conf are
+    # adjacent packed columns (core/types.py PT_*), one scatter writes both
     span = jnp.arccos(jnp.clip(min_dot, -1.0, 1.0))
-    new_conf = m.conf.at[pdst].set(span, mode="drop")
-    return m.replace(xyz=new_xyz, prov=new_prov, conf=new_conf), \
-        promote.sum()
+    # full-row gather-modify-scatter (a column-sliced scatter lowers to a
+    # serial per-row loop — see tracker.default_map_ops.update_xyz)
+    rows = m.pt[jnp.clip(pdst, 0, cap - 1)]
+    rows = jnp.concatenate([solved.points, span[:, None], rows[:, 4:]],
+                           axis=1)
+    new_pt = m.pt.at[pdst].set(rows, mode="drop")
+    new_prov = m.prov.at[pdst].set(False, mode="drop")
+    return m.replace(pt=new_pt, prov=new_prov), promote.sum()
 
 
 @jax.jit
@@ -296,7 +300,10 @@ def apply_window_result(store: KeyframeStore, m: MapState,
     # landmark write-back
     pid = jnp.where(wp.sel_pid >= 0, wp.sel_pid, m.capacity)
     pid = jnp.where(solved.point_mask, pid, m.capacity)
-    new_xyz = m.xyz.at[pid].set(solved.points, mode="drop")
+    # full-row gather-modify-scatter (see tracker.default_map_ops.update_xyz)
+    prows = m.pt[jnp.clip(pid, 0, m.capacity - 1)]
+    prows = jnp.concatenate([solved.points, prows[:, 3:]], axis=1)
+    new_pt = m.pt.at[pid].set(prows, mode="drop")
     # BA-DRIVEN PROMOTION (the primary path; tracker step 8b holds the
     # geometric fallback): a landmark this accepted event solved with at
     # least 3 observations now carries a JOINT pose+depth estimate — no
@@ -316,4 +323,4 @@ def apply_window_result(store: KeyframeStore, m: MapState,
     T_new = T_wc_new[last]
     T_corr = T_new @ lie.inv_T(T_old)
     return (store.replace(poses=new_poses),
-            m.replace(xyz=new_xyz, prov=new_prov), T_corr)
+            m.replace(pt=new_pt, prov=new_prov), T_corr)

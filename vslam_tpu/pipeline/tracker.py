@@ -37,7 +37,9 @@ import flax.struct as struct
 from ..config import VSLAMConfig
 from ..core import camera as cam
 from ..core import lie
-from ..core.types import FrameFeatures, MapState, empty_features, empty_map
+from ..core.types import (FrameFeatures, MapState, empty_features, empty_map,
+                          PT_XYZ, PT_CONF, PT_FIRST_UV, PT_FIRST_C,
+                          PT_FIRST_P)
 from ..frontend.frame import extract_features
 from ..geometry import pnp, ransac, triangulation
 from ..mapping import point_map
@@ -219,11 +221,11 @@ class MapOps(NamedTuple):
     """
     observe: object          # (m, ids, desc, valid, frame) -> m
     associate: object        # (m, P2, uv, desc, free, frame) -> AssociationResult
-    gather_xyz: object       # (m, ids) -> (N, 3) rows (0 where id invalid)
+    gather_pt: object        # (m, ids) -> (N, PT_COLS) packed payload rows
+                             # (0 where id invalid) — xyz, conf and the
+                             # founding-observation record in ONE gather /
+                             # ONE cross-shard psum (see core/types.py PT_*)
     gather_prov: object      # (m, ids) -> (N,) bool (False where id invalid)
-    gather_conf: object      # (m, ids) -> (N,) f32 (0 where id invalid)
-    gather_first: object     # (m, ids) -> (uv (N,2), P (N,3,4), C (N,3))
-                             # founding-observation records (0 where invalid)
     insert: object           # (m, xyz, color, desc, valid, frame, prov,
                              #  first_uv, first_P, first_C, conf) -> m
     update_xyz: object       # (m, ids, xyz, valid, promote, conf) -> m
@@ -238,25 +240,30 @@ def default_map_ops(cfg: VSLAMConfig, W: int, H: int) -> MapOps:
     def update_xyz(m, ids, xyz, valid, promote, conf):
         dst = jnp.where(valid, ids, m.capacity)
         pdst = jnp.where(promote, ids, m.capacity)
+        # gather-modify-scatter of FULL packed rows: a column-sliced scatter
+        # (.at[dst, 0:4]) lowers to a serial per-row while loop of
+        # dynamic-update-slices on the whole (C, 24) array — measured
+        # 11.3 ms/frame via ops/profile_step; full-row scatter is the
+        # TPU-fast path. Duplicate dst rows stay consistent (each update
+        # writes its own complete row).
+        rows = m.pt[jnp.clip(dst, 0, m.capacity - 1)]
+        rows = jnp.concatenate([xyz, conf[:, None], rows[:, 4:]], axis=1)
         return m.replace(
-            xyz=m.xyz.at[dst].set(xyz, mode="drop"),
-            conf=m.conf.at[dst].set(conf, mode="drop"),
+            pt=m.pt.at[dst].set(rows, mode="drop"),
             prov=m.prov.at[pdst].set(False, mode="drop"))
+
+    def gather_pt(m, ids):
+        rows = m.pt[jnp.clip(ids, 0, m.capacity - 1)]
+        return jnp.where((ids >= 0)[:, None], rows, 0.0)
 
     return MapOps(
         observe=point_map.add_observations,
         associate=lambda m, P2, uv, desc, free, frame: point_map.associate(
             m, P2, uv, desc, free, cfg.map, cfg.matching, W, H,
             frame_idx=frame),
-        gather_xyz=lambda m, ids: m.xyz[jnp.clip(ids, 0, m.capacity - 1)],
+        gather_pt=gather_pt,
         gather_prov=lambda m, ids: (
             m.prov[jnp.clip(ids, 0, m.capacity - 1)] & (ids >= 0)),
-        gather_conf=lambda m, ids: jnp.where(
-            ids >= 0, m.conf[jnp.clip(ids, 0, m.capacity - 1)], 0.0),
-        gather_first=lambda m, ids: (
-            m.first_uv[jnp.clip(ids, 0, m.capacity - 1)],
-            m.first_P[jnp.clip(ids, 0, m.capacity - 1)],
-            m.first_C[jnp.clip(ids, 0, m.capacity - 1)]),
         insert=point_map.insert_points,
         update_xyz=update_xyz,
         cull=point_map.cull_stale,
@@ -328,7 +335,7 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
         carry_uv = state.prev.uv + state.prev_flow
         pred_pose = state.pose @ state.vel
         T_cw_pred = lie.inv_T(pred_pose)
-        Xm_prev = ops.gather_xyz(state.map, state.prev_map_id)
+        Xm_prev = ops.gather_pt(state.map, state.prev_map_id)[:, PT_XYZ]
         Xc_pred = jnp.einsum("ij,nj->ni", T_cw_pred[:3, :3], Xm_prev) \
             + T_cw_pred[:3, 3]
         zp = Xc_pred[:, 2]
@@ -378,7 +385,7 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     pid_prev = state.prev_map_id
     has_map = ((pid_prev >= 0) & rres.inliers
                & ~ops.gather_prov(state.map, pid_prev))
-    Xm = ops.gather_xyz(state.map, pid_prev)
+    Xm = ops.gather_pt(state.map, pid_prev)[:, PT_XYZ]
     T_cw_prev = lie.inv_T(state.pose)
     Xm_c = jnp.einsum("ij,nj->ni", T_cw_prev[:3, :3], Xm) + T_cw_prev[:3, 3]
     z_map = Xm_c[:, 2]
@@ -516,7 +523,9 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     # blind — the convergence gate (pnp_commit_ok rmse < 1.5) still
     # rejects a bad fit.
     pnp_mask = (pnp_ids >= 0) & feats.mask & (~pnp_prov | ~pose_ok)
-    X_pnp = ops.gather_xyz(new_map, pnp_ids)
+    # one packed gather serves the PnP anchors' xyz AND conf (PT_* layout)
+    rows_pnp = ops.gather_pt(new_map, pnp_ids)
+    X_pnp = rows_pnp[:, PT_XYZ]
     # MATURITY-WEIGHTED anchoring: each anchor's residual is weighted by
     # conf^2/(conf^2 + conf0^2) — inverse depth-variance (sigma_z ~
     # pixel-noise/parallax), so a freshly promoted minimal-span anchor
@@ -524,7 +533,7 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     # of dominating it (VERDICT r04 next #1(a): "marginal anchors inform
     # but don't dominate").
     conf0 = jnp.deg2rad(6.0)
-    pnp_conf = ops.gather_conf(new_map, pnp_ids)
+    pnp_conf = rows_pnp[:, PT_CONF]
     pnp_w = pnp_conf ** 2 / (pnp_conf ** 2 + conf0 ** 2)
     # Relocalization (pose_ok False — e.g. first real frame after a
     # blackout): anchors run at FULL authority. The maturity weighting
@@ -731,7 +740,10 @@ def _step_impl(state: TrackerState, img, cfg: VSLAMConfig, ops: MapOps,
     # would re-trigger it against the drifting live pose chain (the
     # continuous-refinement pathology, step 8b note).
     prov_now = ops.gather_prov(new_map, map_id2)
-    f_uv, f_P, f_C = ops.gather_first(new_map, map_id2)
+    rows_id2 = ops.gather_pt(new_map, map_id2)
+    f_uv = rows_id2[:, PT_FIRST_UV]
+    f_C = rows_id2[:, PT_FIRST_C]
+    f_P = rows_id2[:, PT_FIRST_P].reshape(N, 3, 4)
     restore = start_new & (map_id2 >= 0) & prov_now
     pend_uv = jnp.where(keep[:, None], pend_uv,
                         jnp.where(restore[:, None], f_uv, feats.uv))
