@@ -256,14 +256,6 @@ def associate(
     kp_x = kp_uv[:, 0]
     kp_y = kp_uv[:, 1]
 
-    def block(carry, start):
-        # Blocks past the insert cursor hold no live points: lax.cond skips
-        # their matmuls entirely, so a young map costs O(size), not
-        # O(capacity), per frame.
-        return jax.lax.cond(
-            start < m.size, _block_work, lambda c, s: (c, None), carry, start
-        )
-
     def _block_work(carry, start):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, B, axis=0)
         # xyz = the first 3 packed columns; slice only those (types.PT_XYZ)
@@ -359,11 +351,20 @@ def associate(
             jnp.any(near) & jnp.any(kp_free), _gated, _trivial,
             (near, near_rq, desc, dcount),
         )
-        return jnp.minimum(carry, blk_key), None
+        return jnp.minimum(carry, blk_key)
 
     init = jnp.full((N,), _NO_KEY, jnp.int32)
-    starts = jnp.arange(0, C, B, dtype=jnp.int32)
-    best_key, _ = jax.lax.scan(block, init, starts)
+    # Loop only over blocks the insert cursor has reached — a young map
+    # costs O(size), not O(capacity), per frame. A dynamic-bound fori_loop
+    # beats the previous static scan-over-capacity with a per-block
+    # size-cond: the dead blocks' conditional dispatch alone measured
+    # ~0.6 ms/frame at capacity 131072 / size 51k (ops/profile_step).
+    nblk = jnp.minimum((m.size + B - 1) // B, C // B)
+
+    def body(i, carry):
+        return _block_work(carry, i * jnp.int32(B))
+
+    best_key = jax.lax.fori_loop(0, nblk, body, init)
     best_d = jnp.where(best_key < _NO_KEY, best_key >> 18, 1 << 14)
     best_id = best_key & ((1 << 18) - 1)
     # acceptance was gated per-tier inside the scan (a reacq winner may
